@@ -1,0 +1,214 @@
+"""Synthetic molecules + QM-like data for tests, smoke training and benches.
+
+Generates random molecular graphs (trees + rings + sp2-like improper
+centers), assigns plausible classical parameters, embeds conformers in 3D
+and computes ground-truth bonded energies/gradients with an INDEPENDENT
+torch (CPU) implementation of the MM terms. This provides:
+  * an end-to-end oracle for the JAX energy/force path (cross-framework)
+  * self-contained "datasets" that a model can actually learn (the targets
+    are exactly representable by the parameter space)
+without any downloads (the reference pulls espaloma datasets from GitHub
+releases, reference: src/grappa/utils/dataset_utils.py:15-135).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from grappa_tpu import constants
+from grappa_tpu.data.moldata import MolData
+from grappa_tpu.data.molecule import Molecule
+from grappa_tpu.data.parameters import Parameters
+
+
+def random_molecule(seed: int = 0, n_atoms: Optional[int] = None,
+                    charge_model: str = 'am1BCC') -> Molecule:
+    """Random connected molecule with branches, an occasional ring and
+    improper centers at every degree-3 atom."""
+    rng = np.random.default_rng(seed)
+    if n_atoms is None:
+        n_atoms = int(rng.integers(6, 24))
+    bonds = []
+    for i in range(1, n_atoms):
+        parent = int(rng.integers(max(0, i - 4), i))
+        bonds.append((parent, i))
+    # close one ring of size 5 or 6 if possible
+    if n_atoms >= 8 and rng.random() < 0.7:
+        size = int(rng.choice([5, 6]))
+        start = int(rng.integers(0, n_atoms - size))
+        ring_atoms = list(range(start, start + size))
+        ring_bonds = [(ring_atoms[i], ring_atoms[i + 1])
+                      for i in range(size - 1)] + [(ring_atoms[-1], ring_atoms[0])]
+        existing = {tuple(sorted(b)) for b in bonds}
+        for b in ring_bonds:
+            if tuple(sorted(b)) not in existing:
+                bonds.append(b)
+
+    # improper sets: atoms with exactly 3 neighbors
+    deg = np.zeros(n_atoms, int)
+    nbrs = {i: [] for i in range(n_atoms)}
+    for a, b in bonds:
+        deg[a] += 1
+        deg[b] += 1
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    if np.max(deg) > constants.MAX_NEIGHBORS:
+        raise RuntimeError("generated degree too large")
+    improper_sets = []
+    for center in range(n_atoms):
+        if deg[center] == 3 and rng.random() < 0.8:
+            a, b, c = sorted(nbrs[center])
+            improper_sets.append((a, b, center, c))
+
+    zs = rng.choice([1, 6, 6, 7, 8, 16], size=n_atoms)
+    charges = rng.normal(0, 0.3, size=n_atoms).astype(np.float32)
+    charges -= charges.mean()
+    return Molecule(
+        atoms=np.arange(n_atoms), bonds=bonds, impropers=improper_sets,
+        atomic_numbers=zs, partial_charges=charges,
+        charge_model=charge_model,
+    )
+
+
+def random_parameters(mol: Molecule, seed: int = 0) -> Parameters:
+    """Plausible random MM parameters (phases restricted to {0, pi})."""
+    rng = np.random.default_rng(seed + 1)
+    p = Parameters.get_nan_params(mol)
+    p.bond_k = rng.normal(700, 100, len(p.bonds)).clip(min=200.0)
+    p.bond_eq = rng.normal(1.4, 0.1, len(p.bonds)).clip(min=1.0)
+    p.angle_k = rng.normal(100, 20, len(p.angles)).clip(min=30.0)
+    p.angle_eq = rng.normal(1.95, 0.1, len(p.angles)).clip(1.4, 2.8)
+    p.proper_ks = np.abs(rng.normal(0, 0.6, p.proper_ks.shape))
+    p.proper_phases = np.where(rng.random(p.proper_ks.shape) < 0.5, 0.0, np.pi)
+    p.improper_ks = np.abs(rng.normal(0, 1.5, p.improper_ks.shape))
+    p.improper_phases = np.where(
+        rng.random(p.improper_ks.shape) < 0.5, 0.0, np.pi)
+    return p
+
+
+def embed_conformers(mol: Molecule, n_confs: int, seed: int = 0,
+                     noise: float = 0.25) -> np.ndarray:
+    """Rough 3D embedding: random-walk layout + per-conformer noise.
+    Returns (n_confs, n_atoms, 3) in Angstrom."""
+    rng = np.random.default_rng(seed + 2)
+    n = len(mol.atoms)
+    base = np.zeros((n, 3))
+    nbr = mol.neighbor_map
+    id2idx = mol.index_of()
+    placed = {0}
+    order = [0]
+    # BFS placement at ~1.4 A bond length in random directions
+    queue = [int(mol.atoms[0])]
+    while queue:
+        a = queue.pop(0)
+        ai = id2idx[a]
+        for b in nbr.get(a, []):
+            bi = id2idx[b]
+            if bi not in placed:
+                direction = rng.normal(size=3)
+                direction /= np.linalg.norm(direction)
+                base[bi] = base[ai] + 1.4 * direction
+                placed.add(bi)
+                order.append(bi)
+                queue.append(b)
+    confs = base[None] + rng.normal(0, noise, size=(n_confs, n, 3))
+    return confs.astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# independent torch ground truth
+def torch_bonded_energy(mol: Molecule, params: Parameters, xyz: np.ndarray):
+    """Ground-truth bonded energy + gradient via torch autograd (CPU).
+
+    Intentionally an independent implementation (direct cos(n*phi - phase)
+    form with explicit phases rather than signed k) used as the oracle for
+    the JAX path. Returns (energy (n_confs,), gradient (n_confs, n_atoms, 3))
+    in kcal/mol and kcal/mol/A.
+    """
+    import torch
+
+    x = torch.tensor(xyz, dtype=torch.float64, requires_grad=True)
+    idx = mol.tuple_indices()
+
+    def gather(t):
+        return x[:, idx[t].astype(np.int64)]  # (C, T, arity, 3)
+
+    energy = torch.zeros(x.shape[0], dtype=torch.float64)
+
+    if len(idx['n2']):
+        pos = gather('n2')
+        r = torch.linalg.norm(pos[:, :, 0] - pos[:, :, 1], dim=-1)
+        k = torch.tensor(params.bond_k, dtype=torch.float64)
+        eq = torch.tensor(params.bond_eq, dtype=torch.float64)
+        energy = energy + (0.5 * k * (r - eq) ** 2).sum(dim=1)
+
+    if len(idx['n3']):
+        pos = gather('n3')
+        u = pos[:, :, 0] - pos[:, :, 1]
+        v = pos[:, :, 2] - pos[:, :, 1]
+        cos = (u * v).sum(-1) / (torch.linalg.norm(u, dim=-1)
+                                 * torch.linalg.norm(v, dim=-1))
+        theta = torch.arccos(cos.clamp(-1 + 1e-9, 1 - 1e-9))
+        k = torch.tensor(params.angle_k, dtype=torch.float64)
+        eq = torch.tensor(params.angle_eq, dtype=torch.float64)
+        energy = energy + (0.5 * k * (theta - eq) ** 2).sum(dim=1)
+
+    def dihedral(pos):
+        b1 = pos[:, :, 1] - pos[:, :, 0]
+        b2 = pos[:, :, 2] - pos[:, :, 1]
+        b3 = pos[:, :, 3] - pos[:, :, 2]
+        n1 = torch.cross(b1, b2, dim=-1)
+        n2 = torch.cross(b2, b3, dim=-1)
+        m1 = torch.cross(n1, b2 / torch.linalg.norm(b2, dim=-1, keepdim=True),
+                         dim=-1)
+        yy = (m1 * n2).sum(-1)
+        xx = (n1 * n2).sum(-1)
+        return torch.atan2(yy, xx)
+
+    for term, ks, phases in (
+            ('n4', params.proper_ks, params.proper_phases),
+            ('n4_improper', params.improper_ks, params.improper_phases)):
+        if len(idx[term]) == 0 or ks is None or len(ks) == 0:
+            continue
+        pos = gather(term)
+        phi = dihedral(pos)  # (C, T)
+        k = torch.tensor(np.nan_to_num(ks), dtype=torch.float64)
+        ph = torch.tensor(np.nan_to_num(phases), dtype=torch.float64)
+        n_per = k.shape[1]
+        for n in range(1, n_per + 1):
+            # reference/openmm convention: k*(1 + cos(n*phi - phase)); the
+            # constant offset drops out of centered energies but we keep the
+            # cos term identical to the signed-k convention because
+            # cos(n*phi - {0, pi}) = +-cos(n*phi).
+            energy = energy + (
+                k[:, n - 1] * torch.cos(n * phi - ph[:, n - 1])).sum(dim=1)
+
+    grad = torch.autograd.grad(energy.sum(), x)[0]
+    return energy.detach().numpy(), grad.numpy()
+
+
+def make_moldata(seed: int = 0, n_confs: int = 8,
+                 n_atoms: Optional[int] = None,
+                 ds_name: str = 'synthetic') -> MolData:
+    """Full synthetic dataset entry with self-consistent targets."""
+    mol = random_molecule(seed, n_atoms=n_atoms)
+    params = random_parameters(mol, seed)
+    xyz = embed_conformers(mol, n_confs, seed)
+    energy, gradient = torch_bonded_energy(mol, params, xyz)
+    energy_ref = energy - energy.mean()
+    return MolData(
+        molecule=mol, xyz=xyz,
+        energy=energy.astype(np.float32),
+        gradient=gradient.astype(np.float32),
+        energy_ref=energy_ref.astype(np.float32),
+        gradient_ref=gradient.astype(np.float32),
+        mol_id=f'{ds_name}-{seed}',
+        classical_parameters=params,
+    )
+
+
+def make_dataset(n_mols: int = 8, n_confs: int = 8, seed: int = 0,
+                 ds_name: str = 'synthetic') -> List[MolData]:
+    return [make_moldata(seed=seed * 1000 + i, n_confs=n_confs,
+                         ds_name=ds_name) for i in range(n_mols)]

@@ -1,0 +1,132 @@
+"""Serialization round-trips and schema invariants for the data model
+(the reference's analogs: tests/molecule.py, tests/mol_data.py,
+tests/parameters.py, tests/dataset.py)."""
+import numpy as np
+import pytest
+
+from grappa_tpu import constants
+from grappa_tpu.data import Molecule, Parameters, MolData
+from grappa_tpu.data.synthetic import (
+    make_moldata, random_molecule, random_parameters)
+from grappa_tpu.graph_features import degree_encoding, ring_encoding
+
+
+def test_molecule_roundtrip(tmp_path):
+    mol = random_molecule(seed=3)
+    path = tmp_path / "mol.npz"
+    mol.save(path)
+    mol2 = Molecule.load(path)
+    np.testing.assert_array_equal(mol.atoms, mol2.atoms)
+    np.testing.assert_array_equal(mol.bonds, mol2.bonds)
+    np.testing.assert_array_equal(mol.angles, mol2.angles)
+    np.testing.assert_array_equal(mol.propers, mol2.propers)
+    np.testing.assert_array_equal(mol.impropers, mol2.impropers)
+    for k in mol.additional_features:
+        np.testing.assert_allclose(
+            mol.additional_features[k], mol2.additional_features[k])
+    assert mol2.charge_model == mol.charge_model
+
+
+def test_molecule_json_roundtrip(tmp_path):
+    mol = Molecule.random()
+    path = tmp_path / "mol.json"
+    mol.to_json(path)
+    mol2 = Molecule.from_json(path)
+    np.testing.assert_array_equal(mol.bonds, mol2.bonds)
+    np.testing.assert_array_equal(mol.impropers, mol2.impropers)
+
+
+def test_molecule_features():
+    mol = random_molecule(seed=1)
+    feats = mol.input_features()
+    n = len(mol.atoms)
+    assert feats['atomic_number'].shape == (n, constants.MAX_ELEMENT)
+    assert np.all(feats['atomic_number'].sum(axis=1) == 1)
+    assert feats['partial_charge'].shape == (n,)
+    assert feats['ring_encoding'].shape == (n, 7)
+    assert feats['degree'].shape == (n, 6)
+    assert feats['mass'].shape == (n, 2)
+    assert feats['charge_model'].shape == (n, 2)
+    # am1BCC one-hot for synthetic molecules
+    assert np.all(feats['charge_model'][:, 0] == 1.0)
+
+
+def test_ring_encoding_cyclohexane_with_tail():
+    # 6-ring 0..5 plus tail atom 6
+    bonds = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (0, 6)]
+    enc = ring_encoding(bonds, 7)
+    for i in range(6):
+        assert enc[i, 0] == 1.0  # in ring
+        assert enc[i, 4] == 1.0  # ring size 6 -> column 1 + (6-3)
+    assert enc[6].sum() == 0.0
+    deg = degree_encoding(bonds, 7)
+    assert deg[0, 2] == 1.0  # degree 3
+    assert deg[6, 0] == 1.0  # degree 1
+
+
+def test_ring_encoding_fused_rings():
+    # two fused 5-rings sharing an edge (0,1): cycles 5,5 and 8
+    bonds = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0),
+             (1, 5), (5, 6), (6, 7), (7, 0)]
+    enc = ring_encoding(bonds, 8)
+    assert all(enc[i, 0] == 1.0 for i in range(8))
+    # shared-edge atoms are in two 5-rings and the 8-perimeter
+    assert enc[0, 3] == 1.0 and enc[0, 6] == 1.0
+
+
+def test_parameters_signed_k_roundtrip():
+    mol = random_molecule(seed=5)
+    p = random_parameters(mol, seed=5)
+    signed = Parameters.to_signed_k(p.proper_ks, p.proper_phases)
+    ks, phases = Parameters.from_signed_k(signed)
+    np.testing.assert_allclose(ks, p.proper_ks, rtol=1e-6)
+    # phases only match where k > 0 (phase of k=0 is arbitrary)
+    nz = p.proper_ks > 0
+    np.testing.assert_allclose(phases[nz], p.proper_phases[nz], atol=1e-6)
+
+
+def test_parameters_eq_sanity_checks():
+    mol = Molecule.random()
+    pred = {
+        'n2_k': np.ones(len(mol.bonds)),
+        'n2_eq': np.full(len(mol.bonds), 0.1),  # too short
+        'n3_k': np.ones(len(mol.angles)),
+        'n3_eq': np.full(len(mol.angles), 2.0),
+        'n4_k': np.zeros((len(mol.propers), 6)),
+        'n4_improper_k': np.zeros((len(mol.impropers), 3)),
+    }
+    with pytest.raises(RuntimeError):
+        Parameters.from_prediction(mol, pred)
+    pred['n2_eq'] = np.full(len(mol.bonds), 1.2)
+    pred['n3_eq'] = np.full(len(mol.angles), 0.1)  # too small
+    with pytest.raises(RuntimeError):
+        Parameters.from_prediction(mol, pred)
+
+
+def test_moldata_roundtrip(tmp_path):
+    md = make_moldata(seed=7, n_confs=5)
+    path = tmp_path / "mol.npz"
+    md.save(path)
+    md2 = MolData.load(path)
+    np.testing.assert_allclose(md.xyz, md2.xyz)
+    np.testing.assert_allclose(md.energy, md2.energy)
+    np.testing.assert_allclose(md.energy_ref, md2.energy_ref)
+    np.testing.assert_allclose(md.gradient_ref, md2.gradient_ref)
+    np.testing.assert_allclose(
+        md.classical_parameters.bond_k, md2.classical_parameters.bond_k)
+    np.testing.assert_allclose(
+        md.classical_parameters.proper_ks, md2.classical_parameters.proper_ks)
+    assert md2.mol_id == md.mol_id
+    assert 'qm' in md2.ff_energy
+
+
+def test_nan_params_shapes():
+    mol = random_molecule(seed=2)
+    p = Parameters.get_nan_params(mol)
+    assert p.bond_k.shape == (len(mol.bonds),)
+    assert p.proper_ks.shape == (len(mol.propers), constants.N_PERIODICITY_PROPER)
+    assert np.all(np.isnan(p.bond_k))
+    d = p.signed_k_dict(n_periodicity_proper=6, n_periodicity_improper=3)
+    assert d['n4_k'].shape == (len(mol.propers), 6)
+    assert d['n4_improper_k'].shape == (len(mol.impropers), 3)
+    assert np.all(np.isnan(d['n2_k']))
