@@ -1,0 +1,129 @@
+"""Shared neural-network building blocks (flax.linen).
+
+Math matches the reference's torch primitives so that torch checkpoints can
+be converted weight-for-weight:
+  * FeedForward == reference FeedForwardLayer (pre-LN, one hidden layer,
+    optional repeat-interleave skip; reference: src/grappa/models/
+    network_utils.py:5-54)
+  * SelfAttention == torch.nn.MultiheadAttention with packed qkv projection
+  * TransformerBlock == reference DottedAttWithMLP (pre-LN MHA + FF;
+    network_utils.py:57-133)
+  * ChargeEncoding == the sinusoidal partial-charge encoding
+    (reference: src/grappa/models/graph_attention.py:418-444)
+
+LayerNorm uses eps=1e-5 (torch default) for conversion parity.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LN_EPS = 1e-5
+
+
+def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray,
+                   axis: int = -1) -> jnp.ndarray:
+    """Softmax over `axis` restricted to mask==True; all-masked rows -> 0."""
+    neg = jnp.finfo(logits.dtype).min / 2
+    masked = jnp.where(mask, logits, neg)
+    shifted = masked - jnp.max(masked, axis=axis, keepdims=True)
+    weights = jnp.exp(shifted) * mask.astype(logits.dtype)
+    denom = jnp.sum(weights, axis=axis, keepdims=True)
+    return weights / jnp.maximum(denom, 1e-9)
+
+
+def repeat_interleave_skip(x_skip: jnp.ndarray, out_feats: int) -> jnp.ndarray:
+    """Repeat-interleave the feature axis so a skip connection fits out_feats."""
+    in_feats = x_skip.shape[-1]
+    if out_feats == in_feats:
+        return x_skip
+    factor = out_feats // in_feats
+    return jnp.repeat(x_skip, factor, axis=-1)
+
+
+class FeedForward(nn.Module):
+    """Pre-LN MLP with one hidden layer, optional skip (repeat-interleave)."""
+    hidden_feats: int
+    out_feats: int
+    skip: bool = False
+    layer_norm: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, name='norm')(x)
+        h = nn.Dense(self.hidden_feats, name='linear1')(x)
+        h = nn.elu(h)
+        h = nn.Dense(self.out_feats, name='linear2')(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.skip:
+            h = h + repeat_interleave_skip(x, self.out_feats)
+        return h
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with packed qkv, matching
+    torch.nn.MultiheadAttention(embed_dim, num_heads)."""
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (..., S, F)
+        f = x.shape[-1]
+        assert f % self.num_heads == 0
+        dh = f // self.num_heads
+        qkv = nn.Dense(3 * f, name='in_proj')(x)          # (..., S, 3F)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(*t.shape[:-1], self.num_heads, dh)
+
+        q, k, v = heads(q), heads(k), heads(v)            # (..., S, H, dh)
+        logits = jnp.einsum('...shd,...thd->...hst', q, k) / np.sqrt(dh)
+        weights = nn.softmax(logits, axis=-1)
+        out = jnp.einsum('...hst,...thd->...shd', weights, v)
+        out = out.reshape(*out.shape[:-2], f)
+        return nn.Dense(f, name='out_proj')(out)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN self-attention + feed-forward block (DottedAttWithMLP)."""
+    num_heads: int
+    hidden_feats: int
+    layer_norm: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, name='norm1')(x)
+        attn = SelfAttention(self.num_heads, name='attn')(x)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = attn + x
+        return FeedForward(self.hidden_feats, x.shape[-1], skip=True,
+                           layer_norm=self.layer_norm, dropout=self.dropout,
+                           name='ff')(x, deterministic=deterministic)
+
+
+class ChargeEncoding(nn.Module):
+    """Sinusoidal encoding of partial charges clamped to [-2, 2]."""
+    dimension: int = 16
+    min_value: float = -2.0
+    max_value: float = 2.0
+
+    @nn.compact
+    def __call__(self, values: jnp.ndarray) -> jnp.ndarray:
+        values = jnp.clip(values, self.min_value, self.max_value)
+        scaled = (values + self.max_value) / (self.max_value - self.min_value)
+        half = self.dimension // 2
+        freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                        * (-np.log(10000.0) / half))
+        args = scaled[:, None] * freqs[None, :]
+        enc = jnp.zeros((values.shape[0], self.dimension), jnp.float32)
+        enc = enc.at[:, 0::2].set(jnp.sin(args))
+        enc = enc.at[:, 1::2].set(jnp.cos(args))
+        return enc

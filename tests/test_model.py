@@ -1,0 +1,157 @@
+"""Model tests: shapes, permutation invariance (the defining property of the
+heads), padding invariance, and torch-attention parity for the transformer
+block (the converter-fidelity oracle)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grappa_tpu.data import MolGraph, PadSpec, collate
+from grappa_tpu.data.graph_batch import TERMS
+from grappa_tpu.data.synthetic import make_moldata
+from grappa_tpu.models.grappa_model import (
+    get_small_model_config, make_model)
+
+
+@pytest.fixture(scope='module')
+def small_setup():
+    mds = [make_moldata(seed=s, n_confs=3) for s in (0, 1)]
+    graphs = [MolGraph.from_moldata(md) for md in mds]
+    batch = collate(graphs)
+    model = make_model(get_small_model_config())
+    params = model.init(jax.random.key(0), batch)
+    return model, params, batch, graphs
+
+
+def test_forward_shapes(small_setup):
+    model, params, batch, _ = small_setup
+    out = model.apply(params, batch)
+    assert out['n2_k'].shape == (batch.terms['n2'].idxs.shape[0],)
+    assert out['n2_eq'].shape == out['n2_k'].shape
+    assert out['n3_k'].shape == (batch.terms['n3'].idxs.shape[0],)
+    assert out['n4_k'].shape == (batch.terms['n4'].idxs.shape[0], 6)
+    assert out['n4_improper_k'].shape == (
+        batch.terms['n4_improper'].idxs.shape[0], 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # physical ranges
+    assert np.all(np.asarray(out['n2_k']) > 0)
+    assert np.all(np.asarray(out['n2_eq']) > 0)
+    assert np.all(np.asarray(out['n3_k']) > 0)
+    eq = np.asarray(out['n3_eq'])
+    assert np.all((eq > 0) & (eq < np.pi))
+
+
+def _swap_term(batch, term, perm):
+    idxs = np.asarray(batch.terms[term].idxs)
+    swapped = idxs[:, list(perm)]
+    new_term = batch.terms[term].replace(idxs=jnp.asarray(swapped))
+    terms = dict(batch.terms)
+    terms[term] = new_term
+    return batch.replace(terms=terms)
+
+
+def test_permutation_invariance(small_setup):
+    """Outputs must be exactly invariant under the symmetry permutations of
+    each tuple type (reference invariance sets: interaction_parameters.py)."""
+    model, params, batch, _ = small_setup
+    base = model.apply(params, batch)
+
+    cases = {
+        'n2': (1, 0),
+        'n3': (2, 1, 0),
+        'n4': (3, 2, 1, 0),
+        'n4_improper': (3, 1, 2, 0),  # outer-atom swap, central fixed
+    }
+    for term, perm in cases.items():
+        swapped = model.apply(params, _swap_term(batch, term, perm))
+        for key in ([f'{term}_k'] + ([f'{term}_eq'] if term in ('n2', 'n3') else [])):
+            np.testing.assert_allclose(
+                np.asarray(base[key]), np.asarray(swapped[key]),
+                rtol=2e-5, atol=2e-5, err_msg=f'{term} perm {perm}')
+
+
+def test_non_invariant_permutation_changes_output(small_setup):
+    """Sanity: a NON-symmetry permutation must change the prediction."""
+    model, params, batch, _ = small_setup
+    base = model.apply(params, batch)
+    # (0,2,1,3) is not in the proper symmetry set
+    swapped = model.apply(params, _swap_term(batch, 'n4', (0, 2, 1, 3)))
+    diff = np.abs(np.asarray(base['n4_k']) - np.asarray(swapped['n4_k']))
+    mask = np.asarray(batch.terms['n4'].mask)
+    assert diff[mask].max() > 1e-6
+
+
+def test_model_padding_invariance(small_setup):
+    model, params, batch, graphs = small_setup
+    pad = PadSpec(
+        n_nodes=batch.num_nodes + 64,
+        n_tuples={t: batch.terms[t].idxs.shape[0] + 128 for t in TERMS},
+        n_confs=batch.num_confs)
+    big = collate(graphs, pad=pad)
+    out_small = model.apply(params, batch)
+    out_big = model.apply(params, big)
+    for term in TERMS:
+        n_valid = int(np.asarray(batch.terms[term].mask).sum())
+        key = f'{term}_k'
+        np.testing.assert_allclose(
+            np.asarray(out_small[key])[:n_valid],
+            np.asarray(out_big[key])[:n_valid], rtol=2e-5, atol=2e-5)
+
+
+def test_dropout_train_mode(small_setup):
+    model, _, batch, _ = small_setup
+    from grappa_tpu.models.grappa_model import get_small_model_config, make_model
+    cfg = get_small_model_config()
+    cfg['parameter_dropout'] = 0.5
+    cfg['gnn_dropout_attention'] = 0.3
+    model = make_model(cfg)
+    params = model.init(jax.random.key(0), batch)
+    out1 = model.apply(params, batch, deterministic=False,
+                       rngs={'dropout': jax.random.key(1)})
+    out2 = model.apply(params, batch, deterministic=False,
+                       rngs={'dropout': jax.random.key(2)})
+    # different dropout masks -> different outputs
+    assert np.abs(np.asarray(out1['n2_k']) - np.asarray(out2['n2_k'])).max() > 0
+    # eval mode is deterministic
+    out3 = model.apply(params, batch)
+    out4 = model.apply(params, batch)
+    np.testing.assert_array_equal(np.asarray(out3['n2_k']),
+                                  np.asarray(out4['n2_k']))
+
+
+def test_self_attention_matches_torch():
+    """SelfAttention == torch.nn.MultiheadAttention given converted weights
+    (weight-converter fidelity oracle for the head transformers)."""
+    import torch
+
+    f, heads, s, b = 32, 4, 3, 5
+    torch_mha = torch.nn.MultiheadAttention(f, heads, dropout=0.0)
+    x = np.random.default_rng(0).normal(size=(s, b, f)).astype(np.float32)
+    with torch.no_grad():
+        t_out, _ = torch_mha(torch.tensor(x), torch.tensor(x), torch.tensor(x),
+                             need_weights=False)
+    t_out = t_out.numpy()
+
+    from grappa_tpu.models.layers import SelfAttention
+    mod = SelfAttention(num_heads=heads)
+    variables = mod.init(jax.random.key(0), jnp.asarray(x.transpose(1, 0, 2)))
+    sd = torch_mha.state_dict()
+    converted = {
+        'params': {
+            'in_proj': {
+                'kernel': jnp.asarray(sd['in_proj_weight'].numpy().T),
+                'bias': jnp.asarray(sd['in_proj_bias'].numpy()),
+            },
+            'out_proj': {
+                'kernel': jnp.asarray(sd['out_proj.weight'].numpy().T),
+                'bias': jnp.asarray(sd['out_proj.bias'].numpy()),
+            },
+        }
+    }
+    jax.tree.map(lambda a, b: None if a.shape == b.shape else 1 / 0,
+                 variables['params'], converted['params'])
+    # jax path is batch-first
+    j_out = mod.apply(converted, jnp.asarray(x.transpose(1, 0, 2)))
+    np.testing.assert_allclose(
+        np.asarray(j_out).transpose(1, 0, 2), t_out, rtol=2e-5, atol=2e-5)
