@@ -21,7 +21,7 @@ from flax import linen as nn
 from grappa_tpu.data.graph_batch import GraphBatch
 from grappa_tpu.models.gnn import GrappaGNN
 from grappa_tpu.models.heads import HarmonicParameterHead, TorsionParameterHead
-from grappa_tpu.train.statistics import get_default_statistics, sanitize_statistics
+from grappa_tpu.statistics import get_default_statistics, sanitize_statistics
 
 _EPS_STD_HARMONIC = 1e-6
 

@@ -1,0 +1,120 @@
+"""Molecule-wise training loss, fully vectorized over the batch.
+
+Semantics match the reference loss (reference: src/grappa/training/loss.py:
+11-167) — per-molecule MSEs of centered energies, gradients and (NaN-masked)
+classical parameters with per-type weights, plus L2 regularisation of torsion
+amplitudes, averaged over molecules so every molecule gets equal weight —
+but computed as masked segment reductions in one jit-compiled graph instead
+of the reference's Python unbatch loop (loss.py:52, the training hot spot).
+
+Loss weights are traced scalars, so the curriculum (parameter-only epochs ->
+QM epochs, reference: lightning_model.py:60,193-198) switches weights without
+recompilation. The per-molecule parameter-loss weight is a vector, which also
+expresses the per-dataset overrides (param_weights_by_dataset).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from grappa_tpu.data.graph_batch import GraphBatch
+from grappa_tpu.models import mm_energy
+
+# relative weights of parameter types inside the parameter loss
+DEFAULT_PARAM_TYPE_WEIGHTS = {'n2_k': 1e-3, 'n3_k': 1e-2, 'n4_k': 1e-4}
+
+
+class LossWeights(NamedTuple):
+    """Traced scalars/vectors controlling the loss mix."""
+    energy: jnp.ndarray          # scalar
+    gradient: jnp.ndarray        # scalar
+    param: jnp.ndarray           # (M,) per-molecule parameter-loss weight
+    proper_reg: jnp.ndarray      # scalar
+    improper_reg: jnp.ndarray    # scalar
+
+
+def _segment_mean(values: jnp.ndarray, seg: jnp.ndarray, counts: jnp.ndarray,
+                  num_mols: int) -> jnp.ndarray:
+    total = jax.ops.segment_sum(values, seg, num_segments=num_mols + 1)[:num_mols]
+    return total / jnp.maximum(counts, 1.0)
+
+
+def molwise_loss(batch: GraphBatch, pred: Dict[str, jnp.ndarray],
+                 weights: LossWeights,
+                 param_type_weights: Dict[str, float] = None,
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Scalar loss + auxiliary per-part diagnostics.
+
+    `pred` is the model output dict (n2_k .. n4_improper_k).
+    """
+    if param_type_weights is None:
+        param_type_weights = DEFAULT_PARAM_TYPE_WEIGHTS
+    m = batch.num_mols
+    aux: Dict[str, jnp.ndarray] = {}
+
+    energy, gradient = mm_energy.energy_and_gradient(batch, pred)
+
+    # ---- energy: per-mol MSE of centered energies over valid conformers
+    e_pred = mm_energy.centered(energy, batch.conf_mask)
+    e_ref = mm_energy.centered(batch.energy_ref, batch.conf_mask)
+    conf_counts = batch.conf_mask.sum(axis=1).astype(jnp.float32)
+    e_se = jnp.square(e_pred - e_ref).sum(axis=1)
+    e_mse = e_se / jnp.maximum(conf_counts, 1.0)                  # (M,)
+    aux['energy_mse'] = e_mse
+
+    # ---- gradient: per-mol MSE over (atoms x confs x 3) of that molecule
+    conf_mask_per_node = batch.conf_mask[
+        jnp.minimum(batch.node_mol, m - 1)] * batch.node_mask[:, None]
+    g_diff = jnp.square(gradient - batch.gradient_ref) * conf_mask_per_node[..., None]
+    g_se_node = g_diff.sum(axis=(1, 2))                           # (N,)
+    atoms = batch.atoms_per_mol()
+    g_counts = atoms * conf_counts * 3.0
+    g_mse = _segment_mean(g_se_node, batch.node_mol, g_counts, m)
+    aux['gradient_mse'] = g_mse
+
+    # ---- parameters: NaN-masked squared error with per-type weights,
+    # one mean over all parameter entries of the molecule (improper excluded,
+    # matching the reference, loss.py:91-92)
+    se_per_mol = jnp.zeros(m)
+    count_per_mol = jnp.zeros(m)
+    for key in ('n2_k', 'n2_eq', 'n3_k', 'n3_eq', 'n4_k'):
+        term = key[:2] if key.startswith(('n2', 'n3')) else 'n4'
+        tb = batch.terms[term]
+        ref = tb.k_ref if key.endswith('_k') else tb.eq_ref
+        p = pred[key]
+        if p.ndim == 1:
+            p, ref = p[:, None], ref[:, None]
+        fac = param_type_weights.get(key, 1.0)
+        valid = (~jnp.isnan(ref)) & tb.mask[:, None]
+        diff = jnp.where(valid, (p - jnp.nan_to_num(ref)) * fac, 0.0)
+        # NaN-ref entries count toward the denominator like the reference
+        # (zeroed but included in the mean)
+        entries = tb.mask[:, None] & jnp.broadcast_to(
+            jnp.ones_like(ref, dtype=bool), ref.shape)
+        se = jnp.square(diff).sum(axis=1)
+        cnt = entries.sum(axis=1).astype(jnp.float32)
+        se_per_mol = se_per_mol + jax.ops.segment_sum(
+            se, tb.mol, num_segments=m + 1)[:m]
+        count_per_mol = count_per_mol + jax.ops.segment_sum(
+            cnt, tb.mol, num_segments=m + 1)[:m]
+    param_mse = se_per_mol / jnp.maximum(count_per_mol, 1.0)
+    aux['param_mse'] = param_mse
+
+    # ---- torsion L2 regularisation (per-mol mean of squared amplitudes)
+    regs = jnp.zeros(m)
+    for term, w in (('n4', weights.proper_reg), ('n4_improper', weights.improper_reg)):
+        tb = batch.terms[term]
+        k = pred[f'{term}_k']
+        se = jnp.square(jnp.where(tb.mask[:, None], k, 0.0)).sum(axis=1)
+        cnt = tb.mask.astype(jnp.float32) * k.shape[1]
+        total = jax.ops.segment_sum(se, tb.mol, num_segments=m + 1)[:m]
+        count = jax.ops.segment_sum(cnt, tb.mol, num_segments=m + 1)[:m]
+        regs = regs + w * total / jnp.maximum(count, 1.0)
+
+    per_mol = (weights.energy * e_mse
+               + weights.gradient * g_mse
+               + weights.param * param_mse
+               + regs)
+    return per_mol.mean(), aux

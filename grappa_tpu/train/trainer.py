@@ -1,0 +1,276 @@
+"""Training orchestration: optax optimizer, curriculum, LR schedule,
+evaluation, checkpointing.
+
+Reproduces the reference training protocol (reference: src/grappa/training/
+lightning_model.py:13-314 and trainrun.py:24-175) as an explicit jit-
+compiled loop:
+  * curriculum: epochs < start_qm_epochs train on classical parameters only
+    (energy/gradient weights zero), then QM energy+force training
+  * optimizer restarts at given epochs with linear LR warmup
+  * plateau decay: `patience` epochs without improvement of
+    early_stopping_loss (3*E_rmse_avg + F_rmse_avg by default) -> lr *= decay
+  * optional param_loss_epochs switch-off, per-dataset parameter-loss weights
+  * wall-clock time limit, finish criterion for unpromising runs
+  * checkpoints: best (by early_stopping_loss) + last, with full config
+
+The train step is one jit program; loss weights and learning rate enter as
+traced scalars so none of the schedule changes trigger recompilation.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from grappa_tpu.data.graph_batch import GraphBatch
+from grappa_tpu.data.loader import GraphLoader
+from grappa_tpu.models import mm_energy
+from grappa_tpu.train.evaluator import (
+    StreamingEvaluator, early_stopping_loss)
+from grappa_tpu.train.loss import LossWeights, molwise_loss
+
+
+def make_optimizer(grad_clip: float = 10.0, weight_decay: float = 0.0):
+    """Adam with global-norm clipping; the LR is applied as a traced scalar
+    in the train step (optax.scale(-1) at the end), so schedule changes never
+    recompile."""
+    steps = [optax.clip_by_global_norm(grad_clip), optax.scale_by_adam()]
+    if weight_decay:
+        steps.append(optax.add_decayed_weights(weight_decay))
+    steps.append(optax.scale(-1.0))
+    return optax.chain(*steps)
+
+
+def make_train_step(model, tx) -> Callable:
+    """Returns jitted (params, opt_state, batch, weights, lr, rng) ->
+    (params, opt_state, loss, aux)."""
+
+    @jax.jit
+    def step(params, opt_state, batch: GraphBatch, weights: LossWeights,
+             lr, rng):
+        def loss_fn(p):
+            pred = model.apply(p, batch, deterministic=False,
+                               rngs={'dropout': rng})
+            return molwise_loss(batch, pred, weights)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss, aux
+
+    return step
+
+
+def make_eval_step(model) -> Callable:
+    @jax.jit
+    def step(params, batch: GraphBatch):
+        pred = model.apply(params, batch)
+        return mm_energy.energy_and_gradient(batch, pred)
+    return step
+
+
+class Trainer:
+    def __init__(self, model, params,
+                 train_loader: GraphLoader, val_loader: Optional[GraphLoader],
+                 lit_config: Dict, trainer_config: Dict,
+                 out_dir: Optional[str] = None,
+                 full_config: Optional[Dict] = None,
+                 log_fn: Optional[Callable[[Dict], None]] = None,
+                 seed: int = 0):
+        self.model = model
+        self.params = params
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.cfg = lit_config
+        self.trainer_cfg = trainer_config
+        self.out_dir = Path(out_dir) if out_dir else None
+        self.full_config = full_config or {}
+        self.log_fn = log_fn or (lambda d: None)
+
+        self.tx = make_optimizer(
+            grad_clip=trainer_config.get('gradient_clip_val', 10.0),
+            weight_decay=lit_config.get('weight_decay', 0.0))
+        self.opt_state = self.tx.init(self.params)
+        self.train_step = make_train_step(model, self.tx)
+        self.eval_step = make_eval_step(model)
+
+        self.lr = float(lit_config['lr'])
+        self.start_qm_epochs = int(lit_config.get('start_qm_epochs', 1))
+        self.restarts = sorted(set(
+            [self.start_qm_epochs] + list(lit_config.get('add_restarts', []))))
+        if lit_config.get('param_loss_epochs') is not None:
+            self.restarts = sorted(set(
+                self.restarts + [int(lit_config['param_loss_epochs'])]))
+        self.warmup_steps = int(lit_config.get('warmup_steps', 200))
+        self._warmup_step: Optional[int] = None
+
+        self.epoch = 0
+        self.global_step = 0
+        self.best_loss = float('inf')
+        self.epochs_without_improvement = 0
+        self.elapsed_time = 0.0
+        self._rng = jax.random.key(seed)
+        self.evaluator = StreamingEvaluator()
+        self.history: list = []
+
+    # ------------------------------------------------------------------
+    def _loss_weights(self, ds_names: Sequence[str],
+                      num_mols: int) -> LossWeights:
+        cfg = self.cfg
+        qm = self.epoch >= self.start_qm_epochs
+        param_w = float(cfg.get('param_weight', 1e-3)) if qm else 1e-3
+        if (cfg.get('param_loss_epochs') is not None
+                and self.epoch >= cfg['param_loss_epochs']):
+            param_w = 0.0
+        overrides = cfg.get('param_weights_by_dataset', {})
+        pw = np.full(num_mols, param_w, np.float32)
+        for i, n in enumerate(ds_names):
+            if n in overrides:
+                pw[i] = overrides[n]
+        return LossWeights(
+            energy=jnp.float32(cfg.get('energy_weight', 1.0) if qm else 0.0),
+            gradient=jnp.float32(cfg.get('gradient_weight', 0.8) if qm else 0.0),
+            param=jnp.asarray(pw),
+            proper_reg=jnp.float32(cfg.get('proper_regularisation', 0.0)),
+            improper_reg=jnp.float32(cfg.get('improper_regularisation', 0.0)),
+        )
+
+    def _step_lr(self) -> float:
+        if self._warmup_step is not None:
+            if self._warmup_step >= self.warmup_steps:
+                self._warmup_step = None
+                return self.lr
+            lr = self._warmup_step / self.warmup_steps * self.lr
+            self._warmup_step += 1
+            return lr
+        return self.lr
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> float:
+        if self.epoch in self.restarts:
+            self.opt_state = self.tx.init(self.params)
+            self._warmup_step = 0
+
+        losses = []
+        for batch, ds_names in self.train_loader:
+            weights = self._loss_weights(ds_names, batch.num_mols)
+            lr = jnp.float32(self._step_lr())
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.params, self.opt_state, loss, _ = self.train_step(
+                self.params, self.opt_state, batch, weights, lr, step_rng)
+            losses.append(loss)
+            self.global_step += 1
+        mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        self.log_fn({'epoch': self.epoch, 'train_loss': mean_loss,
+                     'lr': self.lr})
+        return mean_loss
+
+    def validate(self) -> Dict[str, Dict[str, float]]:
+        if self.val_loader is None:
+            return {}
+        for batch, ds_names in self.val_loader:
+            energy, gradient = self.eval_step(self.params, batch)
+            self.evaluator.step(batch, energy, gradient, ds_names)
+        return self.evaluator.pool()
+
+    # ------------------------------------------------------------------
+    def fit(self, max_epochs: Optional[int] = None) -> Dict:
+        max_epochs = max_epochs or int(self.trainer_cfg.get('max_epochs', 100))
+        time_limit_h = self.cfg.get('time_limit')
+        finish_criterion = {
+            float(k): float(v)
+            for k, v in (self.cfg.get('finish_criterion') or {}).items()}
+        es_energy_w = float(self.cfg.get('early_stopping_energy_weight', 3.0))
+        ckpt_every = int(self.trainer_cfg.get('checkpoint_every', 5))
+        start_time = time.time()
+
+        for _ in range(max_epochs):
+            self.train_epoch()
+            metrics = self.validate()
+            es_loss = early_stopping_loss(metrics, es_energy_w)
+            self.history.append({'epoch': self.epoch, 'metrics': metrics,
+                                 'early_stopping_loss': es_loss})
+            self.log_fn({'epoch': self.epoch, 'val_metrics': metrics,
+                         'early_stopping_loss': es_loss})
+
+            if self.epoch >= self.start_qm_epochs and np.isfinite(es_loss):
+                if es_loss < self.best_loss:
+                    self.best_loss = es_loss
+                    self.epochs_without_improvement = 0
+                    if self.out_dir:
+                        self.save_checkpoint(self.out_dir / 'best.ckpt')
+                else:
+                    self.epochs_without_improvement += 1
+                    patience = int(self.cfg.get('patience', 50))
+                    if patience > 0 and self.epochs_without_improvement > patience:
+                        self.lr *= float(self.cfg.get('lr_decay', 0.8))
+                        self.epochs_without_improvement = 0
+                        self.best_loss = es_loss
+
+            elapsed_h = (time.time() - start_time + self.elapsed_time) / 3600.0
+            relevant = [v for k, v in finish_criterion.items() if k < elapsed_h]
+            if relevant and es_loss > min(relevant):
+                break
+            if time_limit_h is not None and elapsed_h > time_limit_h:
+                break
+
+            self.epoch += 1
+            if self.out_dir and self.epoch % ckpt_every == 0:
+                self.save_checkpoint(self.out_dir / 'last.ckpt')
+
+        if self.out_dir:
+            self.save_checkpoint(self.out_dir / 'last.ckpt')
+        return {'best_early_stopping_loss': self.best_loss,
+                'epochs': self.epoch, 'history': self.history}
+
+    # ------------------------------------------------------------------
+    # checkpointing: msgpack params + optimizer + json sidecar
+    def save_checkpoint(self, path):
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        (path / 'params.msgpack').write_bytes(
+            serialization.to_bytes(self.params))
+        (path / 'opt_state.msgpack').write_bytes(
+            serialization.to_bytes(self.opt_state))
+        meta = {
+            'epoch': self.epoch, 'global_step': self.global_step,
+            'lr': self.lr, 'best_loss': self.best_loss,
+            'elapsed_time': self.elapsed_time + 0.0,
+            'config': _jsonable(self.full_config),
+        }
+        (path / 'meta.json').write_text(json.dumps(meta, indent=1))
+
+    def load_checkpoint(self, path):
+        path = Path(path)
+        self.params = serialization.from_bytes(
+            self.params, (path / 'params.msgpack').read_bytes())
+        self.opt_state = serialization.from_bytes(
+            self.opt_state, (path / 'opt_state.msgpack').read_bytes())
+        meta = json.loads((path / 'meta.json').read_text())
+        self.epoch = meta['epoch']
+        self.global_step = meta['global_step']
+        self.lr = meta['lr']
+        self.best_loss = meta['best_loss']
+        self.elapsed_time = meta.get('elapsed_time', 0.0)
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

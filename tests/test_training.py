@@ -1,0 +1,196 @@
+"""Training-stack tests: vectorized loss correctness + invariances, dataset
+splitting, loader sampling, evaluator metrics, and a smoke training run
+(loss must decrease on learnable synthetic targets)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grappa_tpu.data import MolGraph, collate
+from grappa_tpu.data.dataset import Dataset, calc_split_ids
+from grappa_tpu.data.loader import GraphLoader, bucket_size
+from grappa_tpu.data.synthetic import make_dataset, make_moldata
+from grappa_tpu.models import mm_energy
+from grappa_tpu.models.grappa_model import get_small_model_config, make_model
+from grappa_tpu.train.evaluator import StreamingEvaluator, early_stopping_loss
+from grappa_tpu.train.loss import LossWeights, molwise_loss
+from grappa_tpu.train.trainer import Trainer
+
+
+def ref_params(batch):
+    return {
+        'n2_k': jnp.nan_to_num(batch.terms['n2'].k_ref),
+        'n2_eq': jnp.nan_to_num(batch.terms['n2'].eq_ref),
+        'n3_k': jnp.nan_to_num(batch.terms['n3'].k_ref),
+        'n3_eq': jnp.nan_to_num(batch.terms['n3'].eq_ref),
+        'n4_k': jnp.nan_to_num(batch.terms['n4'].k_ref),
+        'n4_improper_k': jnp.nan_to_num(batch.terms['n4_improper'].k_ref),
+    }
+
+
+def unit_weights(num_mols, param=0.0):
+    return LossWeights(
+        energy=jnp.float32(1.0), gradient=jnp.float32(1.0),
+        param=jnp.full(num_mols, param, jnp.float32),
+        proper_reg=jnp.float32(0.0), improper_reg=jnp.float32(0.0))
+
+
+def test_loss_zero_for_perfect_params():
+    """With the exact generating parameters, energy+force loss ~ 0."""
+    md = make_moldata(seed=0, n_confs=5)
+    batch = collate([MolGraph.from_moldata(md)])
+    pred = ref_params(batch)
+    loss, aux = molwise_loss(batch, pred, unit_weights(1))
+    assert float(loss) < 1e-4, float(loss)
+
+
+def test_loss_param_term_nan_masked():
+    """NaN reference parameters contribute zero to the parameter loss."""
+    md = make_moldata(seed=1, n_confs=3)
+    md.classical_parameters.bond_k[:] = np.nan
+    md.classical_parameters.bond_eq[:] = np.nan
+    batch = collate([MolGraph.from_moldata(md)])
+    pred = ref_params(batch)
+    weights = LossWeights(
+        energy=jnp.float32(0.0), gradient=jnp.float32(0.0),
+        param=jnp.ones(1), proper_reg=jnp.float32(0.0),
+        improper_reg=jnp.float32(0.0))
+    loss, aux = molwise_loss(batch, pred, weights)
+    assert np.isfinite(float(loss))
+    # perfect non-NaN params -> param loss 0
+    assert float(loss) < 1e-10
+
+
+def test_loss_batch_equals_mean_of_singles():
+    """Molwise loss of a batch == mean of single-molecule losses
+    (the reference's equal-weight-per-molecule semantics)."""
+    mds = [make_moldata(seed=s, n_confs=4) for s in (0, 1, 2)]
+    graphs = [MolGraph.from_moldata(md) for md in mds]
+
+    def perturbed(batch):
+        p = ref_params(batch)
+        p = dict(p)
+        p['n2_k'] = p['n2_k'] * 1.1
+        p['n4_k'] = p['n4_k'] + 0.05
+        return p
+
+    batch = collate(graphs, n_confs=4)
+    loss_batch, _ = molwise_loss(batch, perturbed(batch), unit_weights(3, 0.01))
+    singles = []
+    for g in graphs:
+        b = collate([g], n_confs=4)
+        l, _ = molwise_loss(b, perturbed(b), unit_weights(1, 0.01))
+        singles.append(float(l))
+    np.testing.assert_allclose(float(loss_batch), np.mean(singles),
+                               rtol=1e-4)
+
+
+def test_split_consistency():
+    ids = {'ds_a': [f'm{i}' for i in range(20)],
+           'ds_b': [f'm{i}' for i in range(10, 30)]}
+    split = calc_split_ids(ids, (0.8, 0.1, 0.1), seed=0)
+    all_assigned = split['train'] + split['val'] + split['test']
+    assert len(all_assigned) == len(set(all_assigned))  # disjoint
+    assert set(all_assigned) == {f'm{i}' for i in range(30)}  # complete
+    # deterministic
+    split2 = calc_split_ids(ids, (0.8, 0.1, 0.1), seed=0)
+    assert split == split2
+    # forced partitions
+    split3 = calc_split_ids({'x': ['a', 'b']}, {'x': (0.0, 0.0, 1.0)})
+    assert set(split3['test']) == {'a', 'b'}
+
+
+def test_dataset_split_and_roundtrip(tmp_path):
+    mds = make_dataset(n_mols=6, n_confs=3, seed=1)
+    ds = Dataset.from_moldata(mds, 'syn')
+    split = calc_split_ids({'syn': ds.mol_ids}, (0.5, 0.25, 0.25), seed=0)
+    tr, vl, te = ds.split(split['train'], split['val'], split['test'])
+    assert len(tr) + len(vl) + len(te) == len(ds)
+    ds.save(tmp_path / 'ds')
+    ds2 = Dataset.load(tmp_path / 'ds')
+    assert len(ds2) == len(ds)
+    assert ds2.mol_ids == ds.mol_ids
+    assert ds2.ds_names == ds.ds_names
+
+
+def test_loader_shapes_and_weighting():
+    mds = make_dataset(n_mols=12, n_confs=6, seed=2, ds_name='a')
+    mds2 = make_dataset(n_mols=4, n_confs=6, seed=3, ds_name='b')
+    ds = Dataset(mds + mds2, ['a'] * 12 + ['b'] * 4)
+    loader = GraphLoader(ds, batch_size=4, conf_strategy=4, shuffle=True,
+                         weights={'b': 3.0}, seed=0)
+    counts = {'a': 0, 'b': 0}
+    for batch, names in loader:
+        assert batch.num_confs >= 4
+        assert batch.num_mols == 4
+        for n in names:
+            counts[n] += 1
+    # weight 3 on the 4 'b' mols: expected b share = 12/(12+12) = 0.5
+    assert counts['b'] > 4  # upweighted vs its natural 4/16 share
+
+
+def test_bucket_size_ladder():
+    assert bucket_size(1, 64) == 64
+    assert bucket_size(64, 64) == 64
+    assert bucket_size(65, 64) == 80
+    sizes = {bucket_size(x, 64) for x in range(1, 1000)}
+    assert len(sizes) < 15  # bounded compile count
+
+
+def test_evaluator_metrics():
+    mds = [make_moldata(seed=s, n_confs=4) for s in (5, 6)]
+    batch = collate([MolGraph.from_moldata(md) for md in mds], n_confs=4)
+    pred = ref_params(batch)
+    energy, gradient = mm_energy.energy_and_gradient(batch, pred)
+    ev = StreamingEvaluator()
+    ev.step(batch, energy, gradient, ['dsA', 'dsB'])
+    metrics = ev.pool()
+    assert metrics['dsA']['rmse_energies'] < 1e-2
+    assert metrics['dsB']['rmse_gradients'] < 1e-2
+    assert np.isclose(metrics['dsA']['crmse_gradients'],
+                      metrics['dsA']['rmse_gradients'] / np.sqrt(3))
+    assert early_stopping_loss(metrics) < 1e-1
+    # offset energies -> rmse reflects it (and centering removes constants)
+    ev.step(batch, energy + 7.0, gradient, ['dsA', 'dsA'])
+    m2 = ev.pool()
+    assert m2['dsA']['rmse_energies'] < 1e-2  # constant shift is centered out
+
+
+@pytest.mark.slow
+def test_training_smoke(tmp_path):
+    """End-to-end smoke training: loss decreases on learnable targets
+    (reference gate: single-dataset training smoke, SURVEY build plan #5)."""
+    mds = make_dataset(n_mols=8, n_confs=6, seed=4)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=4, conf_strategy=6, shuffle=True,
+                         seed=0, drop_last=True)
+    val_loader = GraphLoader(ds, batch_size=4, conf_strategy=6, shuffle=False)
+
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+
+    lit_cfg = {
+        'lr': 2e-4, 'start_qm_epochs': 1, 'warmup_steps': 5,
+        'energy_weight': 1.0, 'gradient_weight': 0.8, 'param_weight': 1e-3,
+        'proper_regularisation': 1e-3, 'improper_regularisation': 1e-3,
+        'patience': 50, 'lr_decay': 0.8,
+    }
+    trainer = Trainer(model, params, loader, val_loader, lit_cfg,
+                      {'max_epochs': 10, 'gradient_clip_val': 10.0,
+                       'checkpoint_every': 5},
+                      out_dir=str(tmp_path / 'run'))
+    trainer.fit(max_epochs=10)
+    losses = [h['early_stopping_loss'] for h in trainer.history
+              if np.isfinite(h['early_stopping_loss'])]
+    assert len(losses) >= 5
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+    # checkpoint roundtrip restores parameters exactly
+    trainer2 = Trainer(model, params, loader, val_loader, lit_cfg,
+                       {'max_epochs': 1}, out_dir=None)
+    trainer2.load_checkpoint(tmp_path / 'run' / 'last.ckpt')
+    leaves1 = jax.tree.leaves(trainer.params)
+    leaves2 = jax.tree.leaves(trainer2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
