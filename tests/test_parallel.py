@@ -1,0 +1,134 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: DP training step
+equivalence, DP eval, conformer-axis sharding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grappa_tpu.data import MolGraph, collate
+from grappa_tpu.data.graph_batch import PadSpec, TERMS
+from grappa_tpu.data.synthetic import make_moldata
+from grappa_tpu.models import mm_energy
+from grappa_tpu.models.grappa_model import get_small_model_config, make_model
+from grappa_tpu.parallel.dp import (
+    make_conf_sharded_energy_fn, make_dp_eval_step, make_dp_train_step,
+    make_mesh, shard_batches, stack_loss_weights)
+from grappa_tpu.train.loss import LossWeights
+from grappa_tpu.train.trainer import make_optimizer, make_train_step
+
+N_DEV = 8
+
+
+def _uniform_pad(graphs_per_dev):
+    """One PadSpec covering every per-device batch so shapes match."""
+    all_graphs = [g for gs in graphs_per_dev for g in gs]
+    n_confs = max(g.n_confs for g in all_graphs)
+    per_dev = [PadSpec.for_graphs(gs, n_confs) for gs in graphs_per_dev]
+    return PadSpec(
+        n_nodes=max(p.n_nodes for p in per_dev),
+        n_tuples={t: max(p.n_tuples[t] for p in per_dev) for t in TERMS},
+        n_confs=n_confs)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    assert len(jax.devices()) >= N_DEV
+    graphs_per_dev = [
+        [MolGraph.from_moldata(make_moldata(seed=10 * d + i, n_confs=4))
+         for i in range(2)]
+        for d in range(N_DEV)
+    ]
+    pad = _uniform_pad(graphs_per_dev)
+    batches = [collate(gs, pad=pad) for gs in graphs_per_dev]
+    stacked = shard_batches(batches)
+    model = make_model(get_small_model_config())
+    params = model.init(jax.random.key(0), batches[0])
+    return model, params, batches, stacked
+
+
+def _weights(m):
+    return LossWeights(
+        energy=jnp.float32(1.0), gradient=jnp.float32(0.8),
+        param=jnp.full(m, 1e-3, jnp.float32),
+        proper_reg=jnp.float32(1e-3), improper_reg=jnp.float32(1e-3))
+
+
+def test_dp_train_step_matches_mean_of_grads(setup):
+    """DP psum-averaged update == single-device update on the mean gradient.
+
+    Uses plain SGD for the check: Adam's first-step m/sqrt(v) turns rounding
+    noise on near-zero mean gradients into +-1 sign flips, which would make
+    the comparison ill-conditioned without validating the collective math.
+    """
+    import optax as _optax
+    model, params, batches, stacked = setup
+    mesh = make_mesh(N_DEV)
+    tx = _optax.chain(_optax.clip_by_global_norm(1e9), _optax.scale(-1.0))
+
+    dp_step = make_dp_train_step(model, tx, mesh)
+    opt_state = tx.init(params)
+    weights = stack_loss_weights([_weights(b.num_mols) for b in batches])
+    rngs = jax.random.split(jax.random.key(42), N_DEV)
+    lr = jnp.float32(1e-3)
+
+    # NOTE: dropout=0 in the small config, so rngs don't affect outputs
+    new_params, _, dp_loss = dp_step(params, opt_state, stacked, weights,
+                                     lr, rngs)
+
+    # manual: average grads over the 8 batches on one device
+    from grappa_tpu.train.loss import molwise_loss
+
+    def loss_fn(p, batch, w):
+        pred = model.apply(p, batch)
+        return molwise_loss(batch, pred, w)[0]
+
+    grads = [jax.grad(loss_fn)(params, b, _weights(b.num_mols))
+             for b in batches]
+    losses = [float(loss_fn(params, b, _weights(b.num_mols)))
+              for b in batches]
+    mean_grads = jax.tree.map(lambda *xs: sum(xs) / len(xs), *grads)
+    import optax
+    updates, _ = tx.update(mean_grads, tx.init(params), params)
+    updates = jax.tree.map(lambda u: u * lr, updates)
+    manual_params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(dp_loss), np.mean(losses), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(new_params),
+                    jax.tree.leaves(manual_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-5)
+
+
+def test_dp_eval_matches_single_device(setup):
+    model, params, batches, stacked = setup
+    mesh = make_mesh(N_DEV)
+    dp_eval = make_dp_eval_step(model, mesh)
+    energies, gradients = dp_eval(params, stacked)
+    for d, b in enumerate(batches):
+        pred = model.apply(params, b)
+        e, g = mm_energy.energy_and_gradient(b, pred)
+        np.testing.assert_allclose(np.asarray(energies)[d], np.asarray(e),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(gradients)[d], np.asarray(g),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_conf_sharded_energy(setup):
+    """Conformer-axis sharding returns the same energies as single-device.
+    The conf axis must be divisible by the mesh size (validated error)."""
+    model, params, batches, _ = setup
+    mesh = make_mesh(N_DEV)
+    with pytest.raises(ValueError, match="divisible"):
+        pred4 = model.apply(params, batches[0])
+        make_conf_sharded_energy_fn(mesh)(batches[0], pred4)  # 4 confs, 8 dev
+
+    g = MolGraph.from_moldata(make_moldata(seed=77, n_confs=8))
+    b = collate([g], n_confs=8)
+    pred = model.apply(params, b)
+    e_ref, g_ref = mm_energy.energy_and_gradient(b, pred)
+    conf_fn = make_conf_sharded_energy_fn(mesh)
+    e_sh, g_sh = conf_fn(b, pred)
+    np.testing.assert_allclose(np.asarray(e_sh), np.asarray(e_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
