@@ -1,0 +1,194 @@
+"""Command-line entry points (counterparts of the reference console scripts
+grappa_eval / grappa_export / grappa_gmx / grappa_train, reference:
+pyproject.toml:22-26). Run as `python -m grappa_tpu.cli <command> ...` or via
+the console scripts installed from pyproject.toml."""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser(prog='grappa_train',
+                                description='Run a training from a yaml config.')
+    p.add_argument('-c', '--config', required=True, help='yaml config path')
+    p.add_argument('-p', '--project-dir', default='runs')
+    p.add_argument('-n', '--name', default=None)
+    p.add_argument('--safe', action='store_true',
+                   help='retry once from last.ckpt on failure')
+    args = p.parse_args(argv)
+
+    from grappa_tpu.train.config import default_config, overwrite_config, read_yaml
+    from grappa_tpu.train.run import do_trainrun, safe_trainrun
+    config = default_config()
+    overwrite_config(read_yaml(args.config), config)
+    run = safe_trainrun if args.safe else do_trainrun
+    out = run(config, project_dir=args.project_dir, run_name=args.name)
+    print(json.dumps({'model_dict_path': out['model_dict_path'],
+                      'run_dir': out['run_dir']}))
+
+
+def cmd_resume(argv):
+    p = argparse.ArgumentParser(prog='grappa_resume',
+                                description='Resume a run from last.ckpt.')
+    p.add_argument('run_dir')
+    p.add_argument('--extra-epochs', type=int, default=None)
+    args = p.parse_args(argv)
+    from grappa_tpu.train.run import resume_trainrun
+    out = resume_trainrun(args.run_dir, extra_epochs=args.extra_epochs)
+    print(json.dumps({'run_dir': out['run_dir']}))
+
+
+def cmd_eval(argv):
+    p = argparse.ArgumentParser(
+        prog='grappa_eval',
+        description='Evaluate a model on datasets with bootstrap CIs.')
+    p.add_argument('-t', '--tag', required=True,
+                   help='model tag or model file (.pth/.npz)')
+    p.add_argument('-d', '--datasets', nargs='+', required=True,
+                   help='dataset tags or directories')
+    p.add_argument('--split', default=None,
+                   help="split json; default: the model's stored split")
+    p.add_argument('--set', default='test', choices=['train', 'val', 'test',
+                                                     'all'])
+    p.add_argument('--classical', action='store_true',
+                   help='also evaluate stored classical force fields')
+    p.add_argument('--n-bootstrap', type=int, default=1000)
+    p.add_argument('-o', '--output', default=None, help='results json path')
+    args = p.parse_args(argv)
+
+    from grappa_tpu.train.export import load_model_dict, model_from_dict
+    from grappa_tpu.train.eval_model import eval_model
+    from grappa_tpu.train.run import load_datasets
+    from grappa_tpu.data.dataset import load_split
+    from grappa_tpu.zoo import model_path_from_tag
+
+    model_dict = load_model_dict(model_path_from_tag(args.tag))
+    model, params, config = model_from_dict(model_dict)
+    ds = load_datasets(args.datasets)
+    ds.remove_uncommon_features()
+
+    if args.set != 'all':
+        split = (load_split(args.split) if args.split
+                 else model_dict.get('split_names') or {})
+        if split:
+            tr, vl, te = ds.split(split.get('train', []), split.get('val', []),
+                                  split.get('test', []))
+            ds = {'train': tr, 'val': vl, 'test': te}[args.set]
+    results = eval_model(model, params, ds, n_bootstrap=args.n_bootstrap,
+                         classical=args.classical)
+    text = json.dumps(results, indent=1)
+    if args.output:
+        Path(args.output).write_text(text)
+    print(text)
+
+
+def cmd_export(argv):
+    p = argparse.ArgumentParser(
+        prog='grappa_export',
+        description='Export a trainer checkpoint as a model_dict file.')
+    p.add_argument('run_dir', help='training run directory')
+    p.add_argument('-o', '--output', default=None,
+                   help='output .pth or .npz (default <run_dir>/model.pth)')
+    p.add_argument('--checkpoint', default='best.ckpt',
+                   choices=['best.ckpt', 'last.ckpt'])
+    args = p.parse_args(argv)
+
+    from flax import serialization
+    from grappa_tpu.models.grappa_model import make_model
+    from grappa_tpu.train.config import read_yaml
+    from grappa_tpu.train.export import build_model_dict, save_model_dict
+    from grappa_tpu.data.dataset import load_split
+
+    run_dir = Path(args.run_dir)
+    config = read_yaml(run_dir / 'grappa_config.yaml')
+    meta = json.loads((run_dir / args.checkpoint / 'meta.json').read_text())
+
+    # rebuild the model with the statistics stored alongside, then load params
+    stats_path = run_dir / 'param_statistics.json'
+    stats = None
+    if stats_path.exists():
+        raw = json.loads(stats_path.read_text())
+        stats = {m: {k: v for k, v in raw[m].items()} for m in ('mean', 'std')}
+    model = make_model(config['model_config'], stats)
+
+    # params template from an empty init is not needed: msgpack stores the
+    # full tree structure via state-dict restoration against a fresh init
+    from grappa_tpu.data.synthetic import make_moldata
+    from grappa_tpu.data import MolGraph, collate
+    import jax
+    batch = collate([MolGraph.from_moldata(make_moldata(seed=0, n_confs=2))])
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    params = serialization.from_bytes(
+        params, (run_dir / args.checkpoint / 'params.msgpack').read_bytes())
+
+    split = {}
+    if (run_dir / 'split.json').exists():
+        split = load_split(run_dir / 'split.json')
+    model_dict = build_model_dict(params, config, split_names=split,
+                                  results=meta.get('results'), model=model)
+    out = Path(args.output) if args.output else run_dir / 'model.pth'
+    save_model_dict(model_dict, out)
+    print(json.dumps({'exported': str(out)}))
+
+
+def cmd_gmx(argv):
+    p = argparse.ArgumentParser(
+        prog='grappa_gmx',
+        description='Parametrize a GROMACS topology file with grappa_tpu.')
+    p.add_argument('-f', '--topology', required=True, help='input .top')
+    p.add_argument('-o', '--output', required=True, help='output .top')
+    p.add_argument('-t', '--tag', default='latest', help='model tag/path')
+    p.add_argument('-c', '--charge-model', default='amber99',
+                   choices=['amber99', 'am1BCC'])
+    args = p.parse_args(argv)
+    from grappa_tpu.wrappers.gromacs_wrapper import GromacsGrappa
+    ff = GromacsGrappa.from_tag(args.tag)
+    ff.parametrize(args.topology, args.output, charge_model=args.charge_model)
+    print(json.dumps({'written': args.output}))
+
+
+COMMANDS = {
+    'train': cmd_train,
+    'resume': cmd_resume,
+    'eval': cmd_eval,
+    'export': cmd_export,
+    'gmx': cmd_gmx,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ('-h', '--help'):
+        print("usage: python -m grappa_tpu.cli "
+              f"{{{','.join(COMMANDS)}}} [args...]")
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; available: {sorted(COMMANDS)}")
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+# console-script entry points
+def grappa_train():
+    cmd_train(sys.argv[1:])
+
+
+def grappa_eval():
+    cmd_eval(sys.argv[1:])
+
+
+def grappa_export():
+    cmd_export(sys.argv[1:])
+
+
+def grappa_gmx():
+    cmd_gmx(sys.argv[1:])
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -132,9 +132,9 @@ class GrappaModel(nn.Module):
             symmetriser_depth=cfg['bond_symmetriser_depth'],
             symmetriser_width=cfg['bond_symmetriser_width'],
             k_mean=self._stat('n2_k_mean')[0],
-            k_std=self._stat('n2_k_std')[0] + _EPS_STD_HARMONIC,
+            k_std=self._stat('n2_k_std')[0],
             eq_mean=self._stat('n2_eq_mean')[0],
-            eq_std=self._stat('n2_eq_std')[0] + _EPS_STD_HARMONIC,
+            eq_std=self._stat('n2_eq_std')[0],
             positional_encoding=False,
             gate=cfg['harmonic_gate'],
             dropout=cfg['parameter_dropout'],
@@ -150,9 +150,9 @@ class GrappaModel(nn.Module):
             symmetriser_depth=cfg['angle_symmetriser_depth'],
             symmetriser_width=cfg['angle_symmetriser_width'],
             k_mean=self._stat('n3_k_mean')[0],
-            k_std=self._stat('n3_k_std')[0] + _EPS_STD_HARMONIC,
+            k_std=self._stat('n3_k_std')[0],
             eq_mean=0.0,
-            eq_std=self._stat('n3_eq_std')[0] + _EPS_STD_HARMONIC,
+            eq_std=self._stat('n3_eq_std')[0],
             positional_encoding=cfg['positional_encoding'],
             gate=cfg['harmonic_gate'],
             dropout=cfg['parameter_dropout'],
@@ -160,11 +160,9 @@ class GrappaModel(nn.Module):
             name='angle_writer',
         )(h, batch.terms['n3'].idxs, deterministic)
 
-        eps_torsion = 1e-1 if cfg['gated_torsion'] else 1e-2
-
         def torsion_stats(key: str, n_per: int):
             mean = list(self._stat(f'{key}_mean'))
-            std = [s + eps_torsion for s in self._stat(f'{key}_std')]
+            std = list(self._stat(f'{key}_std'))
             # pad with neutral statistics if the model asks for more terms
             while len(mean) < n_per:
                 mean.append(0.0)
@@ -225,8 +223,15 @@ def _freeze(obj):
 
 
 def make_model(model_config: Optional[Dict] = None,
-               param_statistics: Optional[Dict] = None) -> GrappaModel:
-    """Factory: config dict (reference-compatible keys) + statistics -> model."""
+               param_statistics: Optional[Dict] = None,
+               eps_applied: bool = False) -> GrappaModel:
+    """Factory: config dict (reference-compatible keys) + statistics -> model.
+
+    eps_applied: set True when the statistics already include the reference's
+    EPSILON_STD (e.g. extracted from torch checkpoint scaler buffers); by
+    default a small epsilon is added to every std so scalers never divide by
+    zero (1e-6 harmonic; 0.1 gated / 0.01 ungated torsion).
+    """
     cfg = get_default_model_config()
     if model_config:
         unknown = set(model_config) - set(cfg) - {'in_feats', 'in_feat_dims'}
@@ -235,6 +240,12 @@ def make_model(model_config: Optional[Dict] = None,
         cfg.update({k: v for k, v in model_config.items()
                     if k in cfg})
     stats = sanitize_statistics(param_statistics or get_default_statistics())
+    if not eps_applied:
+        eps_torsion = 1e-1 if cfg['gated_torsion'] else 1e-2
+        for key in ('n2_k', 'n2_eq', 'n3_k', 'n3_eq'):
+            stats['std'][key] = stats['std'][key] + _EPS_STD_HARMONIC
+        for key in ('n4_k', 'n4_improper_k'):
+            stats['std'][key] = stats['std'][key] + eps_torsion
     flat_stats = []
     for key in ('n2_k', 'n2_eq', 'n3_k', 'n3_eq', 'n4_k', 'n4_improper_k'):
         flat_stats.append((f'{key}_mean', tuple(float(x) for x in stats['mean'][key])))

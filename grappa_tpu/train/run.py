@@ -1,0 +1,229 @@
+"""Training orchestration entry point: config -> dataloaders -> statistics ->
+model -> Trainer -> fitted checkpoint + exported model_dict.
+
+Reproduces the reference orchestrator (reference: src/grappa/training/
+trainrun.py:24-191 `do_trainrun`/`safe_trainrun` and get_dataloaders.py:9-189):
+dataset tag/path resolution, feature pruning, split load-or-compute (+ json
+persistence), pure train/val/test datasets that bypass the mol-id split,
+subsampling, per-subdataset sampling weights, a one-batch non-NaN smoke test
+(`test_model`), and one automatic restart from last.ckpt on failure.
+"""
+from __future__ import annotations
+
+import json
+import traceback
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from grappa_tpu.data.dataset import (
+    Dataset, calc_split_ids, load_split, save_split)
+from grappa_tpu.data.loader import GraphLoader
+from grappa_tpu.models.grappa_model import make_model
+from grappa_tpu.statistics import param_statistics_from_graphs
+from grappa_tpu.train.config import default_config, validate_config, write_yaml
+from grappa_tpu.train.export import build_model_dict, save_model_dict
+from grappa_tpu.train.logging import MetricLogger
+from grappa_tpu.train.trainer import Trainer
+from grappa_tpu.zoo import dataset_path_from_tag
+
+
+def load_datasets(tags: List[str]) -> Dataset:
+    """Resolve tags/paths to dataset directories and concatenate."""
+    parts = []
+    for tag in tags:
+        path = dataset_path_from_tag(tag)
+        ds = Dataset.load(path)
+        # tag becomes the subdataset name unless the manifest already set one
+        if len(set(ds.ds_names)) == 1 and ds.ds_names and (
+                ds.ds_names[0] in ('dataset', '')):
+            ds.ds_names = [Path(str(tag)).name] * len(ds)
+        parts.append(ds)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return total
+
+
+def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
+                    ) -> Tuple[GraphLoader, GraphLoader, GraphLoader, Dict]:
+    """Build train/val/test loaders according to the data config."""
+    cfg = data_config
+    ds = load_datasets(cfg['datasets']) if cfg['datasets'] else Dataset([], [])
+    if len(ds):
+        ds.remove_uncommon_features()
+
+    # split by molecule ids
+    if cfg.get('splitpath'):
+        split = load_split(cfg['splitpath'])
+    else:
+        ids_by_ds = {}
+        for e, name in zip(ds.entries, ds.ds_names):
+            ids_by_ds.setdefault(name, []).append(e.mol_id)
+        split = calc_split_ids(ids_by_ds, tuple(cfg.get('partition',
+                                                        (0.8, 0.1, 0.1))),
+                               seed=cfg.get('seed', 0))
+    if run_dir is not None:
+        save_split(split, Path(run_dir) / 'split.json')
+
+    tr, vl, te = ds.split(split['train'], split['val'], split['test'])
+
+    # pure datasets bypass the mol-id split entirely
+    for key, target in (('pure_train_datasets', 'tr'),
+                        ('pure_val_datasets', 'vl'),
+                        ('pure_test_datasets', 'te')):
+        for tag in cfg.get(key, []) or []:
+            try:
+                extra = load_datasets([tag])
+            except FileNotFoundError:
+                continue
+            extra.remove_uncommon_features()
+            if target == 'tr':
+                tr = tr + extra
+            elif target == 'vl':
+                vl = vl + extra
+            else:
+                te = te + extra
+
+    if cfg.get('tr_subsampling_factor') is not None:
+        tr = tr.subsampled(cfg['tr_subsampling_factor'],
+                           seed=cfg.get('seed', 0))
+
+    train_loader = GraphLoader(
+        tr, batch_size=cfg.get('train_batch_size', 32),
+        conf_strategy=cfg.get('conf_strategy', 32), shuffle=True,
+        weights=cfg.get('weights', {}),
+        balance_factor=cfg.get('balance_factor', 0.0),
+        seed=cfg.get('seed', 0), drop_last=True)
+    val_loader = GraphLoader(
+        vl, batch_size=cfg.get('val_batch_size', 32),
+        conf_strategy=cfg.get('val_conf_strategy', 200), shuffle=False) \
+        if len(vl) else None
+    test_loader = GraphLoader(
+        te, batch_size=cfg.get('test_batch_size', 1),
+        conf_strategy='max', shuffle=False) if len(te) else None
+    return train_loader, val_loader, test_loader, split
+
+
+def do_trainrun(config: Dict, project_dir: str = 'runs',
+                run_name: Optional[str] = None,
+                dataset_override: Optional[Dataset] = None) -> Dict:
+    """Full training run. Returns {model_dict_path, results, run_dir}."""
+    validate_config(config)
+    run_name = run_name or config['trainer_config'].get('name') or 'run'
+    run_dir = Path(project_dir) / run_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    write_yaml(config, run_dir / 'grappa_config.yaml')
+
+    if dataset_override is not None:
+        ds = dataset_override
+        ids_by_ds = {}
+        for e, name in zip(ds.entries, ds.ds_names):
+            ids_by_ds.setdefault(name, []).append(e.mol_id)
+        split = calc_split_ids(
+            ids_by_ds, tuple(config['data_config'].get('partition',
+                                                       (0.8, 0.1, 0.1))),
+            seed=config['data_config'].get('seed', 0))
+        save_split(split, run_dir / 'split.json')
+        tr, vl, te = ds.split(split['train'], split['val'], split['test'])
+        dcfg = config['data_config']
+        train_loader = GraphLoader(tr, batch_size=dcfg.get('train_batch_size', 32),
+                                   conf_strategy=dcfg.get('conf_strategy', 32),
+                                   shuffle=True, weights=dcfg.get('weights', {}),
+                                   balance_factor=dcfg.get('balance_factor', 0.0),
+                                   seed=dcfg.get('seed', 0), drop_last=True)
+        val_loader = GraphLoader(vl, batch_size=dcfg.get('val_batch_size', 32),
+                                 conf_strategy=dcfg.get('val_conf_strategy', 200),
+                                 shuffle=False) if len(vl) else None
+        test_loader = None
+    else:
+        train_loader, val_loader, test_loader, split = get_dataloaders(
+            config['data_config'], run_dir)
+
+    # scaler statistics from the train set (full pass, like the reference)
+    stats = param_statistics_from_graphs(train_loader.dataset.graphs())
+    (run_dir / 'param_statistics.json').write_text(json.dumps(
+        {m: {k: np.asarray(v).tolist() for k, v in stats[m].items()}
+         for m in ('mean', 'std')}))
+    model = make_model(config['model_config'], stats)
+
+    batch, ds_names = next(iter(train_loader))
+    params = jax.jit(model.init)(jax.random.key(
+        config['data_config'].get('seed', 0)), batch)
+
+    if config.get('test_model'):
+        from grappa_tpu.models import mm_energy
+        pred = model.apply(params, batch)
+        energy, gradient = mm_energy.energy_and_gradient(batch, pred)
+        assert np.isfinite(np.asarray(energy)).all(), \
+            "model smoke test: non-finite energies"
+        assert np.isfinite(np.asarray(gradient)).all(), \
+            "model smoke test: non-finite gradients"
+
+    logger = MetricLogger(run_dir, name=run_name)
+    trainer = Trainer(model, params, train_loader, val_loader,
+                      config['lit_model_config'], config['trainer_config'],
+                      out_dir=str(run_dir), full_config=config,
+                      log_fn=logger.log,
+                      seed=config['data_config'].get('seed', 0))
+    try:
+        results = trainer.fit()
+    finally:
+        logger.finish()
+
+    model_dict = build_model_dict(
+        trainer.params, config,
+        split_names=split,
+        results=results.get('history', [])[-1]['metrics']
+        if results.get('history') else {},
+        model=model)
+    export_path = run_dir / 'model.npz'
+    save_model_dict(model_dict, export_path)
+    return {'model_dict_path': str(export_path), 'results': results,
+            'run_dir': str(run_dir), 'trainer': trainer}
+
+
+def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
+    """Continue a run from <run_dir>/last.ckpt with the stored config."""
+    from grappa_tpu.train.config import read_yaml
+    run_dir = Path(run_dir)
+    config = read_yaml(run_dir / 'grappa_config.yaml')
+    ckpt_meta = json.loads((run_dir / 'last.ckpt' / 'meta.json').read_text())
+
+    train_loader, val_loader, _, _ = get_dataloaders(
+        config['data_config'], None)
+    stats = param_statistics_from_graphs(train_loader.dataset.graphs())
+    model = make_model(config['model_config'], stats)
+    batch, _ = next(iter(train_loader))
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+
+    logger = MetricLogger(run_dir)
+    trainer = Trainer(model, params, train_loader, val_loader,
+                      config['lit_model_config'], config['trainer_config'],
+                      out_dir=str(run_dir), full_config=config,
+                      log_fn=logger.log)
+    trainer.load_checkpoint(run_dir / 'last.ckpt')
+    max_epochs = (trainer.epoch + extra_epochs if extra_epochs
+                  else config['trainer_config'].get('max_epochs'))
+    try:
+        results = trainer.fit(max_epochs=max_epochs)
+    finally:
+        logger.finish()
+    return {'results': results, 'run_dir': str(run_dir), 'trainer': trainer}
+
+
+def safe_trainrun(config: Dict, project_dir: str = 'runs',
+                  run_name: Optional[str] = None, **kwargs) -> Dict:
+    """do_trainrun with one automatic resume-from-last-checkpoint retry."""
+    try:
+        return do_trainrun(config, project_dir, run_name, **kwargs)
+    except Exception:
+        traceback.print_exc()
+        run_name = run_name or config['trainer_config'].get('name') or 'run'
+        run_dir = Path(project_dir) / run_name
+        if (run_dir / 'last.ckpt').exists():
+            print(f"training failed; retrying once from {run_dir}/last.ckpt")
+            return resume_trainrun(str(run_dir))
+        raise

@@ -1,0 +1,287 @@
+"""Torch checkpoint interchange: flax params <-> reference-style state_dict.
+
+The reference publishes models as torch `.pth` dicts
+{state_dict, config, split_names[, results, ds_size]} (reference:
+src/grappa/training/export_model.py:84-97, the reproducibility contract).
+This module maps our flax parameter tree to/from a state_dict with the
+reference's module naming (reference module tree: src/grappa/models/
+grappa.py:51-109, graph_attention.py:48-139, interaction_parameters.py:
+38-123, perm_equiv_transformer.py:40-237, network_utils.py:20-109), so
+
+  * models trained here can be exported for torch-side use, and
+  * published grappa checkpoints can be imported for TPU inference.
+
+Conventions: torch Linear weight (out, in) == flax kernel (in, out).T;
+torch LayerNorm weight/bias == flax scale/bias; torch MultiheadAttention
+packs qkv rows as [q; k; v] which maps to our in_proj kernel columns
+(parity-tested against torch in tests/test_model.py). DGL's DotGatConv uses
+a single shared bias-free projection named 'fc' for homogeneous graphs,
+matching our NeighborAttention.fc.
+
+Output scalers live in torch buffers (to_k.mean_over_std/std, to_eq.*,
+k_mean/k_std); importing extracts them into param_statistics so the
+reconstructed flax model bakes in the exact same scaling (the stored values
+already include the reference's EPSILON_STD, so the model must be built with
+eps_applied=True).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from grappa_tpu.models.grappa_model import get_default_model_config
+
+_WRITERS = (('bond', 'n2', 'bond_model'), ('angle', 'n3', 'angle_model'),
+            ('proper', 'n4', 'torsion_model'),
+            ('improper', 'n4_improper', 'torsion_model'))
+
+
+def _t(x):
+    """numpy array -> torch tensor."""
+    import torch
+    return torch.tensor(np.asarray(x))
+
+
+def _linear_out(sd, name, kernel, bias=None):
+    sd[f'{name}.weight'] = _t(np.asarray(kernel).T)
+    if bias is not None:
+        sd[f'{name}.bias'] = _t(bias)
+
+
+def _ln_out(sd, name, p):
+    sd[f'{name}.weight'] = _t(p['scale'])
+    sd[f'{name}.bias'] = _t(p['bias'])
+
+
+def export_state_dict(params: Dict, model_config: Dict,
+                      stats: Dict = None) -> Dict:
+    """flax params -> reference-named torch state_dict.
+
+    `stats` ({'mean': {...}, 'std': {...}}, epsilon already applied — e.g.
+    `stats_from_model(model)`) emits the scaler buffers (to_k/to_eq, k_mean/
+    k_std) so the checkpoint is self-contained.
+    """
+    cfg = dict(get_default_model_config())
+    cfg.update(model_config or {})
+    p = params['params'] if 'params' in params else params
+    sd: Dict = {}
+
+    gnn = p['gnn']
+    _linear_out(sd, 'gnn.pre_dense.0', gnn['pre_dense']['kernel'],
+                gnn['pre_dense']['bias'])
+    for i in range(cfg['gnn_convolutions']):
+        blk = gnn[f'conv_block_{i}']
+        _ln_out(sd, f'gnn.conv_blocks.{i}.layer_norm', blk['norm'])
+        _linear_out(sd, f'gnn.conv_blocks.{i}.graph_module.fc_self',
+                    blk['conv']['fc_self']['kernel'])
+        _linear_out(sd, f'gnn.conv_blocks.{i}.graph_module.fc_neigh',
+                    blk['conv']['fc_neigh']['kernel'],
+                    blk['conv']['fc_neigh']['bias'])
+        _ln_out(sd, f'gnn.conv_blocks.{i}.interaction_norm',
+                blk['interaction_norm'])
+        _linear_out(sd, f'gnn.conv_blocks.{i}.self_interaction.0',
+                    blk['si_dense']['kernel'], blk['si_dense']['bias'])
+    for i in range(cfg['gnn_attentional_layers']):
+        blk = gnn[f'att_block_{i}']
+        base = f'gnn.att_blocks.{i}'
+        _ln_out(sd, f'{base}.layer_norm', blk['norm'])
+        _linear_out(sd, f'{base}.graph_module.fc',
+                    blk['attention']['fc']['kernel'])
+        _linear_out(sd, f'{base}.head_reducer',
+                    blk['head_reducer']['kernel'], blk['head_reducer']['bias'])
+        _ln_out(sd, f'{base}.interaction_norm', blk['interaction_norm'])
+        _linear_out(sd, f'{base}.self_interaction.0',
+                    blk['si_dense1']['kernel'], blk['si_dense1']['bias'])
+        _linear_out(sd, f'{base}.self_interaction.2',
+                    blk['si_dense2']['kernel'], blk['si_dense2']['bias'])
+    _linear_out(sd, 'gnn.post_dense.0', gnn['post_dense']['kernel'],
+                gnn['post_dense']['bias'])
+
+    for writer, _, model_name in _WRITERS:
+        wp = p[f'{writer}_writer']['head']
+        base = f'parameter_writer.{writer}_writer'
+        _linear_out(sd, f'{base}.rep_projector.mlp.0',
+                    wp['rep_projector']['kernel'],
+                    wp['rep_projector']['bias'])
+        depth = cfg[f'{writer}_transformer_depth']
+        for i in range(depth):
+            blk = wp[f'transformer_{i}']
+            tbase = f'{base}.{model_name}.grappa_transformer.transformer.{i}'
+            _ln_out(sd, f'{tbase}.norm1', blk['norm1'])
+            sd[f'{tbase}.attn.in_proj_weight'] = _t(
+                np.asarray(blk['attn']['in_proj']['kernel']).T)
+            sd[f'{tbase}.attn.in_proj_bias'] = _t(blk['attn']['in_proj']['bias'])
+            _linear_out(sd, f'{tbase}.attn.out_proj',
+                        blk['attn']['out_proj']['kernel'],
+                        blk['attn']['out_proj']['bias'])
+            _ln_out(sd, f'{tbase}.ff.norm1', blk['ff']['norm'])
+            _linear_out(sd, f'{tbase}.ff.linear1',
+                        blk['ff']['linear1']['kernel'],
+                        blk['ff']['linear1']['bias'])
+            _linear_out(sd, f'{tbase}.ff.linear2',
+                        blk['ff']['linear2']['kernel'],
+                        blk['ff']['linear2']['bias'])
+        sym_depth = cfg[f'{writer}_symmetriser_depth']
+        for i in range(sym_depth):
+            blk = wp['symmetriser'][f'mlp_{i}']
+            sbase = f'{base}.{model_name}.symmetriser.mlp.{i}'
+            _ln_out(sd, f'{sbase}.norm1', blk['norm'])
+            _linear_out(sd, f'{sbase}.linear1', blk['linear1']['kernel'],
+                        blk['linear1']['bias'])
+            _linear_out(sd, f'{sbase}.linear2', blk['linear2']['kernel'],
+                        blk['linear2']['bias'])
+        if stats is not None:
+            term = {'bond': 'n2', 'angle': 'n3', 'proper': 'n4',
+                    'improper': 'n4_improper'}[writer]
+            if writer in ('bond', 'angle'):
+                k_mean = float(np.asarray(stats['mean'][f'{term}_k'])[0])
+                k_std = float(np.asarray(stats['std'][f'{term}_k'])[0])
+                sd[f'{base}.to_k.mean_over_std'] = _t(k_mean / k_std)
+                sd[f'{base}.to_k.std'] = _t(k_std)
+                sd[f'{base}.to_k.min_'] = _t(0.0)
+                if writer == 'bond':
+                    eq_mean = float(np.asarray(stats['mean'][f'{term}_eq'])[0])
+                    eq_std = float(np.asarray(stats['std'][f'{term}_eq'])[0])
+                    sd[f'{base}.to_eq.mean_over_std'] = _t(eq_mean / eq_std)
+                    sd[f'{base}.to_eq.std'] = _t(eq_std)
+                    sd[f'{base}.to_eq.min_'] = _t(0.0)
+                else:
+                    eq_std = float(np.asarray(stats['std'][f'{term}_eq'])[0])
+                    sd[f'{base}.to_eq.std_over_max'] = _t(eq_std / np.pi)
+                    sd[f'{base}.to_eq.max'] = _t(float(np.pi))
+            else:
+                n_per = cfg[f'n_periodicity_{writer}']
+                k_mean = np.asarray(stats['mean'][f'{term}_k'],
+                                    np.float32).reshape(-1)
+                k_std = np.asarray(stats['std'][f'{term}_k'],
+                                   np.float32).reshape(-1)
+                k_mean = np.pad(k_mean, (0, max(0, n_per - len(k_mean))),
+                                constant_values=0.0)[:n_per]
+                k_std = np.pad(k_std, (0, max(0, n_per - len(k_std))),
+                               constant_values=1.0)[:n_per]
+                sd[f'{base}.k_mean'] = _t(k_mean[None])
+                sd[f'{base}.k_std'] = _t(k_std[None])
+                sd[f'{base}.n_periodicity'] = _t(np.int64(n_per))
+    return sd
+
+
+def stats_from_model(model) -> Dict:
+    """Extract the baked (epsilon-applied) statistics from a GrappaModel."""
+    flat = dict(model.stats)
+    stats = {'mean': {}, 'std': {}}
+    for key in ('n2_k', 'n2_eq', 'n3_k', 'n3_eq', 'n4_k', 'n4_improper_k'):
+        stats['mean'][key] = np.asarray(flat[f'{key}_mean'], np.float32)
+        stats['std'][key] = np.asarray(flat[f'{key}_std'], np.float32)
+    return stats
+
+
+def import_state_dict(state_dict: Dict, model_config: Dict
+                      ) -> Tuple[Dict, Dict]:
+    """reference-named torch state_dict -> (flax params, param_statistics).
+
+    The returned statistics carry the exact scaler values stored in the
+    checkpoint buffers (EPSILON_STD already applied) — build the model with
+    make_model(config, stats, eps_applied=True).
+    """
+    cfg = dict(get_default_model_config())
+    cfg.update(model_config or {})
+
+    def arr(name):
+        v = state_dict[name]
+        if hasattr(v, 'numpy'):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+
+    def lin(name, bias=True):
+        d = {'kernel': arr(f'{name}.weight').T}
+        if bias:
+            d['bias'] = arr(f'{name}.bias')
+        return d
+
+    def ln(name):
+        return {'scale': arr(f'{name}.weight'), 'bias': arr(f'{name}.bias')}
+
+    gnn: Dict = {
+        'pre_dense': lin('gnn.pre_dense.0'),
+        'post_dense': lin('gnn.post_dense.0'),
+    }
+    for i in range(cfg['gnn_convolutions']):
+        base = f'gnn.conv_blocks.{i}'
+        gnn[f'conv_block_{i}'] = {
+            'norm': ln(f'{base}.layer_norm'),
+            'conv': {
+                'fc_self': lin(f'{base}.graph_module.fc_self', bias=False),
+                'fc_neigh': lin(f'{base}.graph_module.fc_neigh'),
+            },
+            'interaction_norm': ln(f'{base}.interaction_norm'),
+            'si_dense': lin(f'{base}.self_interaction.0'),
+        }
+    for i in range(cfg['gnn_attentional_layers']):
+        base = f'gnn.att_blocks.{i}'
+        fc_key = (f'{base}.graph_module.fc' if f'{base}.graph_module.fc.weight'
+                  in state_dict else f'{base}.graph_module.fc_src')
+        gnn[f'att_block_{i}'] = {
+            'norm': ln(f'{base}.layer_norm'),
+            'attention': {'fc': {'kernel': arr(f'{fc_key}.weight').T}},
+            'head_reducer': lin(f'{base}.head_reducer'),
+            'interaction_norm': ln(f'{base}.interaction_norm'),
+            'si_dense1': lin(f'{base}.self_interaction.0'),
+            'si_dense2': lin(f'{base}.self_interaction.2'),
+        }
+
+    params: Dict = {'gnn': gnn}
+    stats = {'mean': {}, 'std': {}}
+
+    for writer, term, model_name in _WRITERS:
+        base = f'parameter_writer.{writer}_writer'
+        head: Dict = {'rep_projector': lin(f'{base}.rep_projector.mlp.0')}
+        for i in range(cfg[f'{writer}_transformer_depth']):
+            tbase = f'{base}.{model_name}.grappa_transformer.transformer.{i}'
+            head[f'transformer_{i}'] = {
+                'norm1': ln(f'{tbase}.norm1'),
+                'attn': {
+                    'in_proj': {
+                        'kernel': arr(f'{tbase}.attn.in_proj_weight').T,
+                        'bias': arr(f'{tbase}.attn.in_proj_bias'),
+                    },
+                    'out_proj': lin(f'{tbase}.attn.out_proj'),
+                },
+                'ff': {
+                    'norm': ln(f'{tbase}.ff.norm1'),
+                    'linear1': lin(f'{tbase}.ff.linear1'),
+                    'linear2': lin(f'{tbase}.ff.linear2'),
+                },
+            }
+        sym: Dict = {}
+        for i in range(cfg[f'{writer}_symmetriser_depth']):
+            sbase = f'{base}.{model_name}.symmetriser.mlp.{i}'
+            sym[f'mlp_{i}'] = {
+                'norm': ln(f'{sbase}.norm1'),
+                'linear1': lin(f'{sbase}.linear1'),
+                'linear2': lin(f'{sbase}.linear2'),
+            }
+        head['symmetriser'] = sym
+        params[f'{writer}_writer'] = {'head': head}
+
+        # scaler buffers -> statistics (exact values incl. epsilon)
+        if writer in ('bond', 'angle'):
+            k_std = arr(f'{base}.to_k.std').reshape(-1)
+            k_mos = arr(f'{base}.to_k.mean_over_std').reshape(-1)
+            stats['mean'][f'{term}_k'] = k_mos * k_std
+            stats['std'][f'{term}_k'] = k_std
+            if writer == 'bond':
+                eq_std = arr(f'{base}.to_eq.std').reshape(-1)
+                eq_mos = arr(f'{base}.to_eq.mean_over_std').reshape(-1)
+                stats['mean'][f'{term}_eq'] = eq_mos * eq_std
+                stats['std'][f'{term}_eq'] = eq_std
+            else:
+                som = arr(f'{base}.to_eq.std_over_max').reshape(-1)
+                mx = arr(f'{base}.to_eq.max').reshape(-1)
+                stats['mean'][f'{term}_eq'] = np.array([np.pi / 2], np.float32)
+                stats['std'][f'{term}_eq'] = som * mx
+        else:
+            stats['mean'][f'{term}_k'] = arr(f'{base}.k_mean').reshape(-1)
+            stats['std'][f'{term}_k'] = arr(f'{base}.k_std').reshape(-1)
+
+    return {'params': params}, stats

@@ -1,0 +1,81 @@
+"""Model & dataset zoo: tag resolution and (gated) downloads.
+
+Tag -> GitHub-release URL maps mirror the reference zoos (reference:
+src/grappa/utils/loading_utils.py:18-32 model tags, src/grappa/utils/
+dataset_utils.py:15-78 dataset tags). Downloads are attempted only when the
+file is not cached locally; in offline environments, drop files into the
+cache directories (`GRAPPA_TPU_CACHE` or ~/.cache/grappa_tpu) or pass
+explicit paths.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict
+
+BASE_URL = 'https://github.com/graeter-group/grappa/releases/download'
+
+MODEL_TAGS: Dict[str, str] = {
+    'grappa-1.1': f'{BASE_URL}/v.1.1.0/grappa-1.1.pth',
+    'grappa-1.2': f'{BASE_URL}/v.1.2.0/grappa-1.2.pth',
+    'grappa-1.2.1': f'{BASE_URL}/v.1.2.1/grappa-1.2.1.pth',
+    'latest': f'{BASE_URL}/v.1.2.1/grappa-1.2.1.pth',
+}
+
+DATASET_TAGS = [
+    'spice-des-monomers', 'spice-dipeptide', 'spice-pubchem',
+    'gen2', 'gen2-torsion', 'pepconf-dlc', 'protein-torsion',
+    'rna-diverse', 'rna-trinucleotide', 'rna-nucleoside',
+    'spice-dipeptide-amber99', 'dipeptides-300K-amber99',
+    'dipeptides-300K-openff-1.2.0', 'dipeptides-1000K-amber99',
+    'uncapped-300K-amber99', 'dipeptides-radical-300K',
+    'espaloma_split',
+]
+
+
+def cache_dir() -> Path:
+    root = os.environ.get('GRAPPA_TPU_CACHE',
+                          str(Path.home() / '.cache' / 'grappa_tpu'))
+    return Path(root)
+
+
+def model_path_from_tag(tag: str) -> Path:
+    """Resolve a model tag (or a filesystem path) to a local file,
+    downloading into the cache if needed and possible."""
+    if Path(tag).exists():
+        return Path(tag)
+    if tag not in MODEL_TAGS:
+        raise KeyError(f"unknown model tag {tag!r}; known: "
+                       f"{sorted(MODEL_TAGS)} (or pass a file path)")
+    url = MODEL_TAGS[tag]
+    target = cache_dir() / 'models' / url.rsplit('/', 1)[-1]
+    if target.exists():
+        return target
+    return _download(url, target)
+
+
+def dataset_path_from_tag(tag: str) -> Path:
+    """Resolve a dataset tag to a local dataset directory."""
+    p = Path(tag)
+    if p.exists():
+        return p
+    target = cache_dir() / 'datasets' / tag
+    if target.exists():
+        return target
+    raise FileNotFoundError(
+        f"dataset {tag!r} not found at {target}; this environment has no "
+        f"network egress — place the dataset directory there manually")
+
+
+def _download(url: str, target: Path) -> Path:
+    import urllib.request
+    target.parent.mkdir(parents=True, exist_ok=True)
+    tmp = target.with_suffix(target.suffix + '.part')
+    try:
+        urllib.request.urlretrieve(url, tmp)  # noqa: S310
+    except Exception as exc:
+        raise RuntimeError(
+            f"could not download {url} (offline environment?); place the "
+            f"file at {target} manually") from exc
+    tmp.rename(target)
+    return target
