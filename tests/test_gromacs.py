@@ -1,0 +1,204 @@
+"""GROMACS integration tests: topology round-trip, unit conversion,
+parametrization end-to-end, partial (focus) reparametrization."""
+import numpy as np
+import pytest
+
+import jax
+
+from grappa_tpu.data import MolGraph, collate
+from grappa_tpu.data.parameters import Parameters
+from grappa_tpu.data.synthetic import make_moldata
+from grappa_tpu.models.grappa_model import get_small_model_config, make_model
+from grappa_tpu.wrappers.gromacs_topology import GromacsTopology
+from grappa_tpu.wrappers.gromacs_wrapper import (
+    GromacsGrappa, element_from_mass, fov_neighborhood,
+    gromacs_parameter_rows, molecule_from_moleculetype)
+
+TOP_TEXT = """\
+; test topology
+#include "amber99.ff/forcefield.itp"
+
+[ moleculetype ]
+; name  nrexcl
+BUT   3
+
+[ atoms ]
+;  nr  type  resnr residue atom cgnr charge  mass
+    1  CT    1     BUT     C1   1   -0.18   12.011
+    2  CT    1     BUT     C2   2   -0.12   12.011
+    3  CT    1     BUT     C3   3   -0.12   12.011
+    4  CT    1     BUT     C4   4   -0.18   12.011
+    5  HC    1     BUT     H1   5    0.06    1.008
+    6  HC    1     BUT     H2   6    0.06    1.008
+    7  HC    1     BUT     H3   7    0.06    1.008
+    8  HC    1     BUT     H4   8    0.06    1.008
+    9  HC    1     BUT     H5   9    0.06    1.008
+   10  HC    1     BUT     H6  10    0.06    1.008
+   11  HC    1     BUT     H7  11    0.06    1.008
+   12  HC    1     BUT     H8  12    0.06    1.008
+   13  HC    1     BUT     H9  13    0.06    1.008
+   14  HC    1     BUT    H10  14    0.06    1.008
+
+[ bonds ]
+    1    2  1  0.1529  224262.4
+    2    3  1  0.1529  224262.4
+    3    4  1  0.1529  224262.4
+    1    5  1  0.1090  284512.0
+    1    6  1  0.1090  284512.0
+    1    7  1  0.1090  284512.0
+    2    8  1  0.1090  284512.0
+    2    9  1  0.1090  284512.0
+    3   10  1  0.1090  284512.0
+    3   11  1  0.1090  284512.0
+    4   12  1  0.1090  284512.0
+    4   13  1  0.1090  284512.0
+    4   14  1  0.1090  284512.0
+
+[ pairs ]
+    1    4  1
+
+[ angles ]
+    1    2    3  1  111.5  400.0
+    2    3    4  1  111.5  400.0
+
+[ dihedrals ]
+    1    2    3    4  9  0.0  0.6508  1
+    1    2    3    4  9  0.0  0.1255  2
+
+[ moleculetype ]
+SOL  2
+
+[ atoms ]
+    1  OW  1  SOL  OW  1  -0.834  15.999
+    2  HW  1  SOL  HW1 1   0.417   1.008
+    3  HW  1  SOL  HW2 1   0.417   1.008
+
+[ settles ]
+1  1  0.09572  0.15139
+
+[ system ]
+butane in water
+
+[ molecules ]
+BUT   1
+SOL   10
+"""
+
+
+@pytest.fixture(scope='module')
+def gmx_model(tmp_path_factory):
+    md = make_moldata(seed=0, n_confs=2)
+    batch = collate([MolGraph.from_moldata(md)])
+    cfg = get_small_model_config()
+    model = make_model(cfg)
+    params = model.init(jax.random.key(0), batch)
+    return GromacsGrappa(model, params, {'model_config': cfg})
+
+
+def test_topology_roundtrip():
+    top = GromacsTopology.parse(TOP_TEXT)
+    assert top.write().strip() == TOP_TEXT.strip()
+    mols = top.molecule_types()
+    assert [m.name for m in mols] == ['BUT', 'SOL']
+    but = mols[0]
+    assert len(but.atom_rows()) == 14
+    assert len(but.bonds()) == 13
+    assert but.proper_tuples() == [(1, 2, 3, 4), (1, 2, 3, 4)]
+
+
+def test_element_from_mass():
+    assert element_from_mass(12.011) == 6
+    assert element_from_mass(1.008) == 1
+    assert element_from_mass(15.999) == 8
+    with pytest.raises(ValueError):
+        element_from_mass(3.024)  # HMR-style hydrogen
+
+
+def test_molecule_from_moleculetype():
+    top = GromacsTopology.parse(TOP_TEXT)
+    mol = molecule_from_moleculetype(top.molecule_types()[0])
+    assert len(mol.atoms) == 14
+    assert list(mol.atoms[:4]) == [1, 2, 3, 4]  # GROMACS 1-based nrs as ids
+    assert mol.atomic_numbers[0] == 6 and mol.atomic_numbers[5] == 1
+    assert len(mol.bonds) == 13
+    assert mol.partial_charges[0] == pytest.approx(-0.18)
+
+
+def test_unit_conversion_rows():
+    # hand-made parameters in grappa units (kcal/mol, Angstrom, rad)
+    params = Parameters(
+        atoms=np.array([1, 2, 3, 4]),
+        bonds=np.array([[1, 2]]), bond_k=np.array([700.0]),
+        bond_eq=np.array([1.5]),
+        angles=np.array([[1, 2, 3]]), angle_k=np.array([100.0]),
+        angle_eq=np.array([np.pi / 2]),
+        propers=np.array([[1, 2, 3, 4]]),
+        proper_ks=np.array([[2.0, 0.0]]),
+        proper_phases=np.array([[np.pi, 0.0]]),
+        impropers=np.array([[1, 3, 2, 4]]),
+        improper_ks=np.array([[1.0]]), improper_phases=np.array([[0.0]]))
+    rows = gromacs_parameter_rows(params)
+    b = rows['bonds'][0].split()
+    assert float(b[3]) == pytest.approx(0.15)          # A -> nm
+    assert float(b[4]) == pytest.approx(700 * 418.4)   # kcal/A^2 -> kJ/nm^2
+    a = rows['angles'][0].split()
+    assert float(a[4]) == pytest.approx(90.0)          # rad -> deg
+    assert float(a[5]) == pytest.approx(418.4)         # kcal -> kJ
+    d = rows['propers'][0].split()
+    assert d[4] == '9' and float(d[5]) == pytest.approx(180.0)
+    assert float(d[6]) == pytest.approx(2 * 4.184)
+    assert d[7] == '1'
+    i = rows['impropers'][0].split()
+    assert i[4] == '4'
+
+
+def test_parametrize_end_to_end(gmx_model, tmp_path):
+    top_path = tmp_path / 'but.top'
+    top_path.write_text(TOP_TEXT)
+    out_path = tmp_path / 'out.top'
+    gmx_model.parametrize(top_path, out_path, check_eq_values=False)
+
+    out = GromacsTopology.parse(out_path)
+    mols = out.molecule_types()
+    but = mols[0]
+    bonds = but.section('bonds').data_rows()
+    assert len(bonds) == 13
+    for row in bonds:
+        assert row[2] == '1'
+        assert 0.05 < float(row[3]) < 0.3          # plausible nm bond length
+        assert float(row[4]) > 0                   # positive kJ/nm^2
+    angles = but.section('angles').data_rows()
+    assert len(angles) == 24                       # all angles, not just 2
+    propers = [r for _, r in but.dihedral_rows() if r[4] == '9']
+    assert len(propers) == 27 * 6                  # 27 propers x 6 periodicities
+    # SOL untouched
+    sol = mols[1]
+    assert sol.section('settles') is not None
+    assert sol.section('bonds') is None
+    # file still parses and preserves preamble
+    assert '#include "amber99.ff/forcefield.itp"' in out_path.read_text()
+
+
+def test_fov_neighborhood():
+    bonds = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    assert fov_neighborhood(bonds, {1}, 0) == {1}
+    assert fov_neighborhood(bonds, {1}, 2) == {1, 2, 3}
+    assert fov_neighborhood(bonds, {3}, 1) == {2, 3, 4}
+    assert fov_neighborhood(bonds, {1}, 99) == {1, 2, 3, 4, 5, 6}
+
+
+def test_partial_reparametrization(gmx_model, tmp_path):
+    top_path = tmp_path / 'but.top'
+    top_path.write_text(TOP_TEXT)
+    out_path = tmp_path / 'partial.top'
+    gmx_model.parametrize(top_path, out_path, focus_nrs={1},
+                          check_eq_values=False)
+    out = GromacsTopology.parse(out_path)
+    but = out.molecule_types()[0]
+    bonds = but.section('bonds').data_rows()
+    assert len(bonds) == 13  # same bond set
+    # field_of_view = 2 att layers + 3 = 5 hops from atom 1 covers all heavy
+    # atoms here, so in this small molecule all bonds get replaced; check
+    # replacement happened (original kb 224262.4 gone from C-C rows)
+    originals = [r for r in bonds if r[4] == '224262.4']
+    assert len(originals) == 0
