@@ -134,6 +134,11 @@ def build_neighbor_list(bonds_idx: np.ndarray, n_atoms: int,
                         max_neighbors: int = constants.MAX_NEIGHBORS
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Fixed-width padded neighbor list from 0-based bond indices."""
+    if len(np.asarray(bonds_idx).reshape(-1)):
+        from grappa_tpu import native
+        result = native.neighbor_list(bonds_idx, n_atoms, max_neighbors)
+        if result is not None:
+            return result
     lists: List[List[int]] = [[] for _ in range(n_atoms)]
     for a, b in np.asarray(bonds_idx).reshape(-1, 2):
         lists[int(a)].append(int(b))

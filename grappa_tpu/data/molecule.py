@@ -61,8 +61,8 @@ class Molecule:
 
         # enumerate angles/propers from bonds if not given
         if angles is None or propers is None:
-            auto_angles, auto_propers = topology.enumerate_angles_propers(
-                self.bonds, self._neighbor_map)
+            auto_angles, auto_propers = topology.enumerate_angles_propers_fast(
+                self.bonds)
             if angles is None:
                 angles = auto_angles
             if propers is None:

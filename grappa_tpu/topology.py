@@ -70,6 +70,19 @@ def enumerate_angles_propers(
     return angles, propers
 
 
+def enumerate_angles_propers_fast(bonds: Sequence[Tuple[int, int]]):
+    """Like enumerate_angles_propers but returns int arrays and uses the
+    native C++ library when available (identical canonical order)."""
+    import numpy as np
+    from grappa_tpu import native
+    result = native.enumerate_tuples(bonds)
+    if result is not None:
+        return result
+    angles, propers = enumerate_angles_propers(bonds)
+    return (np.asarray(angles, dtype=np.int64).reshape(-1, 3),
+            np.asarray(propers, dtype=np.int64).reshape(-1, 4))
+
+
 def canonicalize_bonds(bonds: Iterable[Tuple[int, int]]) -> List[Tuple[int, int]]:
     return [(int(a), int(b)) if a < b else (int(b), int(a)) for a, b in bonds]
 
