@@ -108,17 +108,48 @@ class GraphLoader:
             raise ValueError(f"unknown conf_strategy: {s}")
         return bucket_size(max(1, n), self.conf_bucket_base, self.pad_ratio)
 
+    def _make_batch(self, idxs) -> Tuple[GraphBatch, Tuple[str, ...]]:
+        graphs = [self.dataset.graph(int(i)) for i in idxs]
+        names = tuple(self.dataset.ds_names[int(i)] for i in idxs)
+        n_confs = self._batch_conf_count(graphs)
+        pad = bucketed_pad_spec(graphs, n_confs, ratio=self.pad_ratio)
+        batch = collate(graphs, pad=pad, n_confs=n_confs, rng=self._rng)
+        return batch, names
+
     def __iter__(self) -> Iterator[Tuple[GraphBatch, Tuple[str, ...]]]:
+        """Iterate with one-batch-ahead host prefetch: collation (numpy
+        copies) overlaps the device step, which otherwise dominates at TPU
+        step times of a few milliseconds."""
+        import queue
+        import threading
+
         order = self._epoch_order()
         bs = self.batch_size
         n_batches = len(order) // bs if self.drop_last else len(self)
-        for b in range(n_batches):
-            idxs = order[b * bs:(b + 1) * bs]
-            if len(idxs) == 0:
-                continue
-            graphs = [self.dataset.graph(int(i)) for i in idxs]
-            names = tuple(self.dataset.ds_names[int(i)] for i in idxs)
-            n_confs = self._batch_conf_count(graphs)
-            pad = bucketed_pad_spec(graphs, n_confs, ratio=self.pad_ratio)
-            batch = collate(graphs, pad=pad, n_confs=n_confs, rng=self._rng)
-            yield batch, names
+        chunks = [order[b * bs:(b + 1) * bs] for b in range(n_batches)
+                  if len(order[b * bs:(b + 1) * bs])]
+        if not chunks:
+            return
+
+        q: 'queue.Queue' = queue.Queue(maxsize=2)
+        _sentinel = object()
+
+        def producer():
+            try:
+                for idxs in chunks:
+                    q.put(self._make_batch(idxs))
+            except BaseException as exc:  # surface errors to the consumer
+                q.put(exc)
+            finally:
+                q.put(_sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()

@@ -17,7 +17,7 @@ Semantics per block match the reference:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -32,18 +32,22 @@ class NeighborAttention(nn.Module):
     """Dot-product graph attention over a padded neighbor list."""
     out_feats: int
     num_heads: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, neighbors, neighbor_mask):
         # h: (N, F); neighbors: (N, D) int32; neighbor_mask: (N, D)
         dh = self.out_feats // self.num_heads
-        feat = nn.Dense(self.out_feats, use_bias=False, name='fc')(h)
+        feat = nn.Dense(self.out_feats, use_bias=False, dtype=self.dtype,
+                        name='fc')(h)
         feat = feat.reshape(-1, self.num_heads, dh)          # (N, H, dh)
         nbr_feat = feat[neighbors]                            # (N, D, H, dh)
-        scores = jnp.einsum('nhd,nkhd->nkh', feat, nbr_feat) / np.sqrt(dh)
+        scores = jnp.einsum('nhd,nkhd->nkh', feat, nbr_feat,
+                            preferred_element_type=jnp.float32) / np.sqrt(dh)
         alpha = masked_softmax(scores, neighbor_mask[:, :, None], axis=1)
-        out = jnp.einsum('nkh,nkhd->nhd', alpha, nbr_feat)    # (N, H, dh)
-        return out.reshape(-1, self.out_feats)
+        out = jnp.einsum('nkh,nkhd->nhd', alpha.astype(nbr_feat.dtype),
+                         nbr_feat)                            # (N, H, dh)
+        return out.reshape(-1, self.out_feats).astype(h.dtype)
 
 
 class SAGEConv(nn.Module):
@@ -65,15 +69,17 @@ class ResidualAttentionBlock(nn.Module):
     dropout: float = 0.0
     layer_norm: bool = True
     self_interaction: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, neighbors, neighbor_mask, deterministic=True):
         if self.layer_norm:
             h = nn.LayerNorm(epsilon=LN_EPS, name='norm')(h)
         h_skip = h
-        a = NeighborAttention(self.out_feats, self.num_heads,
+        a = NeighborAttention(self.out_feats, self.num_heads, dtype=self.dtype,
                               name='attention')(h, neighbors, neighbor_mask)
-        a = nn.Dense(self.out_feats, name='head_reducer')(a)
+        a = nn.Dense(self.out_feats, dtype=self.dtype, name='head_reducer')(a)
+        a = a.astype(h.dtype)
         a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
         h = a + repeat_interleave_skip(h_skip, self.out_feats)
 
@@ -81,10 +87,11 @@ class ResidualAttentionBlock(nn.Module):
             if self.layer_norm:
                 h = nn.LayerNorm(epsilon=LN_EPS, name='interaction_norm')(h)
             h_skip = h
-            x = nn.Dense(4 * self.out_feats, name='si_dense1')(h)
+            x = nn.Dense(4 * self.out_feats, dtype=self.dtype,
+                         name='si_dense1')(h)
             x = nn.elu(x)
-            x = nn.Dense(self.out_feats, name='si_dense2')(x)
-            x = nn.elu(x)
+            x = nn.Dense(self.out_feats, dtype=self.dtype, name='si_dense2')(x)
+            x = nn.elu(x).astype(h.dtype)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             h = x + h_skip
         return h
@@ -134,6 +141,7 @@ class GrappaGNN(nn.Module):
     final_dropout: float = 0.0
     layer_norm: bool = True
     self_interaction: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], neighbors, neighbor_mask,
@@ -162,7 +170,7 @@ class GrappaGNN(nn.Module):
             h = ResidualAttentionBlock(
                 self.node_feats, self.n_heads,
                 dropout=self.attention_dropout, layer_norm=self.layer_norm,
-                self_interaction=self.self_interaction,
+                self_interaction=self.self_interaction, dtype=self.dtype,
                 name=f'att_block_{i}')(h, neighbors, neighbor_mask,
                                        deterministic)
 

@@ -71,6 +71,9 @@ def get_default_model_config() -> Dict:
         "learnable_statistics": False,
         "torsion_cutoff": 1e-4,
         "harmonic_gate": False,
+        # TPU-specific: matmul compute dtype ('float32' | 'bfloat16');
+        # parameters, layer norms, softmax and all physics stay float32
+        "compute_dtype": "float32",
     }
 
 
@@ -108,6 +111,8 @@ class GrappaModel(nn.Module):
     def __call__(self, batch: GraphBatch,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
+        dtype = (jnp.bfloat16 if cfg.get('compute_dtype') == 'bfloat16'
+                 else None)
         h = GrappaGNN(
             out_feats=cfg['graph_node_features'],
             node_feats=cfg['gnn_width'],
@@ -121,6 +126,7 @@ class GrappaModel(nn.Module):
             final_dropout=cfg['gnn_dropout_final'],
             layer_norm=cfg['layer_norm'],
             self_interaction=cfg['self_interaction'],
+            dtype=dtype,
             name='gnn',
         )(batch.feats, batch.neighbors, batch.neighbor_mask, deterministic)
 
@@ -139,6 +145,7 @@ class GrappaModel(nn.Module):
             gate=cfg['harmonic_gate'],
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
+            dtype=dtype,
             name='bond_writer',
         )(h, batch.terms['n2'].idxs, deterministic)
 
@@ -157,6 +164,7 @@ class GrappaModel(nn.Module):
             gate=cfg['harmonic_gate'],
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
+            dtype=dtype,
             name='angle_writer',
         )(h, batch.terms['n3'].idxs, deterministic)
 
@@ -185,6 +193,7 @@ class GrappaModel(nn.Module):
             cutoff=cfg['torsion_cutoff'],
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
+            dtype=dtype,
             name='proper_writer',
         )(h, batch.terms['n4'].idxs, deterministic)
 
@@ -204,6 +213,7 @@ class GrappaModel(nn.Module):
             cutoff=cfg['torsion_cutoff'],
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
+            dtype=dtype,
             name='improper_writer',
         )(h, batch.terms['n4_improper'].idxs, deterministic)
 

@@ -57,6 +57,7 @@ class Symmetriser(nn.Module):
     out_feats: int
     n_layers: int = 1
     layer_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -70,13 +71,14 @@ class Symmetriser(nn.Module):
         out = FeedForward(
             self.hidden_feats,
             self.hidden_feats if self.n_layers > 1 else self.out_feats,
-            skip=False, layer_norm=self.layer_norm, name='mlp_0',
+            skip=False, layer_norm=self.layer_norm, dtype=self.dtype,
+            name='mlp_0',
         )(xp, deterministic=deterministic)
         for i in range(1, self.n_layers):
             out = FeedForward(
                 self.hidden_feats,
                 self.hidden_feats if i != last else self.out_feats,
-                skip=(i != last), layer_norm=self.layer_norm,
+                skip=(i != last), layer_norm=self.layer_norm, dtype=self.dtype,
                 name=f'mlp_{i}',
             )(out, deterministic=deterministic)
         return out.sum(axis=1)                       # (T, out_feats)
@@ -96,12 +98,13 @@ class TupleHead(nn.Module):
     positional_encoding: Optional[Tuple[Tuple[float, ...], ...]] = None
     dropout: float = 0.0
     layer_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
         # h: (N, F_rep); idxs: (T, arity)
-        x = nn.Dense(self.proj_feats, name='rep_projector')(h)
-        x = nn.elu(x)
+        x = nn.Dense(self.proj_feats, dtype=self.dtype, name='rep_projector')(h)
+        x = nn.elu(x).astype(jnp.float32)
         x = x[idxs]                                  # (T, arity, proj_feats)
 
         if self.positional_encoding is not None:
@@ -112,14 +115,14 @@ class TupleHead(nn.Module):
         for i in range(self.transformer_layers):
             x = TransformerBlock(
                 self.n_heads, self.hidden_feats, layer_norm=self.layer_norm,
-                dropout=self.dropout, name=f'transformer_{i}',
+                dropout=self.dropout, dtype=self.dtype, name=f'transformer_{i}',
             )(x, deterministic=deterministic)
 
         return Symmetriser(
             permutations=self.permutations,
             hidden_feats=self.symmetriser_feats, out_feats=self.out_feats,
             n_layers=self.symmetriser_layers, layer_norm=self.layer_norm,
-            name='symmetriser',
+            dtype=self.dtype, name='symmetriser',
         )(x, deterministic=deterministic)
 
 
@@ -143,6 +146,7 @@ class HarmonicParameterHead(nn.Module):
     gate: bool = False
     dropout: float = 0.0
     layer_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
@@ -158,8 +162,10 @@ class HarmonicParameterHead(nn.Module):
             out_feats=2 + int(self.gate),
             permutations=PERMUTATIONS[self.term],
             positional_encoding=pos_enc,
-            dropout=self.dropout, layer_norm=self.layer_norm, name='head',
+            dropout=self.dropout, layer_norm=self.layer_norm,
+            dtype=self.dtype, name='head',
         )(h, idxs, deterministic=deterministic)
+        coeffs = coeffs.astype(jnp.float32)
 
         if self.term == 'n2':
             eq = scalers.to_positive(coeffs[:, 0], self.eq_mean, self.eq_std)
@@ -188,6 +194,7 @@ class TorsionParameterHead(nn.Module):
     cutoff: float = 1e-4
     dropout: float = 0.0
     layer_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
@@ -208,8 +215,10 @@ class TorsionParameterHead(nn.Module):
             symmetriser_feats=self.symmetriser_width,
             out_feats=n_out, permutations=perms,
             positional_encoding=pos_enc,
-            dropout=self.dropout, layer_norm=self.layer_norm, name='head',
+            dropout=self.dropout, layer_norm=self.layer_norm,
+            dtype=self.dtype, name='head',
         )(h, idxs, deterministic=deterministic)
+        coeffs = coeffs.astype(jnp.float32)
 
         k_std = jnp.asarray(self.k_std, jnp.float32)[None, :self.n_periodicity]
         k_mean = jnp.asarray(self.k_mean, jnp.float32)[None, :self.n_periodicity]

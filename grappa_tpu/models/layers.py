@@ -45,20 +45,26 @@ def repeat_interleave_skip(x_skip: jnp.ndarray, out_feats: int) -> jnp.ndarray:
 
 
 class FeedForward(nn.Module):
-    """Pre-LN MLP with one hidden layer, optional skip (repeat-interleave)."""
+    """Pre-LN MLP with one hidden layer, optional skip (repeat-interleave).
+
+    `dtype` is the matmul compute dtype (bfloat16 feeds the MXU at full rate);
+    parameters and layer norms stay float32.
+    """
     hidden_feats: int
     out_feats: int
     skip: bool = False
     layer_norm: bool = True
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.layer_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, name='norm')(x)
-        h = nn.Dense(self.hidden_feats, name='linear1')(x)
+        h = nn.Dense(self.hidden_feats, dtype=self.dtype, name='linear1')(x)
         h = nn.elu(h)
-        h = nn.Dense(self.out_feats, name='linear2')(h)
+        h = nn.Dense(self.out_feats, dtype=self.dtype, name='linear2')(h)
+        h = h.astype(x.dtype)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.skip:
             h = h + repeat_interleave_skip(x, self.out_feats)
@@ -67,8 +73,10 @@ class FeedForward(nn.Module):
 
 class SelfAttention(nn.Module):
     """Multi-head self-attention with packed qkv, matching
-    torch.nn.MultiheadAttention(embed_dim, num_heads)."""
+    torch.nn.MultiheadAttention(embed_dim, num_heads). Softmax always runs
+    in float32 regardless of the matmul compute dtype."""
     num_heads: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -76,18 +84,21 @@ class SelfAttention(nn.Module):
         f = x.shape[-1]
         assert f % self.num_heads == 0
         dh = f // self.num_heads
-        qkv = nn.Dense(3 * f, name='in_proj')(x)          # (..., S, 3F)
+        in_dtype = x.dtype
+        qkv = nn.Dense(3 * f, dtype=self.dtype, name='in_proj')(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             return t.reshape(*t.shape[:-1], self.num_heads, dh)
 
         q, k, v = heads(q), heads(k), heads(v)            # (..., S, H, dh)
-        logits = jnp.einsum('...shd,...thd->...hst', q, k) / np.sqrt(dh)
-        weights = nn.softmax(logits, axis=-1)
+        logits = jnp.einsum('...shd,...thd->...hst', q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(dh)
+        weights = nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum('...hst,...thd->...shd', weights, v)
         out = out.reshape(*out.shape[:-2], f)
-        return nn.Dense(f, name='out_proj')(out)
+        out = nn.Dense(f, dtype=self.dtype, name='out_proj')(out)
+        return out.astype(in_dtype)
 
 
 class TransformerBlock(nn.Module):
@@ -96,16 +107,18 @@ class TransformerBlock(nn.Module):
     hidden_feats: int
     layer_norm: bool = True
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.layer_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, name='norm1')(x)
-        attn = SelfAttention(self.num_heads, name='attn')(x)
+        attn = SelfAttention(self.num_heads, dtype=self.dtype, name='attn')(x)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = attn + x
         return FeedForward(self.hidden_feats, x.shape[-1], skip=True,
                            layer_norm=self.layer_norm, dropout=self.dropout,
+                           dtype=self.dtype,
                            name='ff')(x, deterministic=deterministic)
 
 

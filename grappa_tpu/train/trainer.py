@@ -154,6 +154,22 @@ class Trainer:
         return self.lr
 
     # ------------------------------------------------------------------
+    def profile_steps(self, n_steps: int = 5, trace_dir: str = '/tmp/grappa_tpu_trace'):
+        """Capture a jax profiler trace of n_steps training steps
+        (view with tensorboard or xprof; the TPU-side analog of the
+        reference's lightning profiler="simple")."""
+        import itertools
+        batch_iter = iter(self.train_loader)
+        with jax.profiler.trace(trace_dir):
+            for batch, ds_names in itertools.islice(batch_iter, n_steps):
+                weights = self._loss_weights(ds_names, batch.num_mols)
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.params, self.opt_state, loss, _ = self.train_step(
+                    self.params, self.opt_state, batch, weights,
+                    jnp.float32(self.lr), step_rng)
+            jax.block_until_ready(loss)
+        return trace_dir
+
     def train_epoch(self) -> float:
         if self.epoch in self.restarts:
             self.opt_state = self.tx.init(self.params)
