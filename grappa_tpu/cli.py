@@ -150,12 +150,35 @@ def cmd_gmx(argv):
     print(json.dumps({'written': args.output}))
 
 
+def cmd_release(argv):
+    p = argparse.ArgumentParser(
+        prog='grappa_release',
+        description='Upload an exported model file to a GitHub release '
+                    '(requires the gh CLI and network access).')
+    p.add_argument('model_file', help='exported .pth/.npz model file')
+    p.add_argument('-r', '--release-tag', required=True)
+    p.add_argument('--repo', default=None, help='owner/repo (default: cwd)')
+    args = p.parse_args(argv)
+    import shutil
+    import subprocess
+    if shutil.which('gh') is None:
+        raise RuntimeError("the 'gh' CLI is not installed")
+    cmd = ['gh', 'release', 'upload', args.release_tag, args.model_file,
+           '--clobber']
+    if args.repo:
+        cmd += ['--repo', args.repo]
+    subprocess.run(cmd, check=True)
+    print(json.dumps({'uploaded': args.model_file,
+                      'release': args.release_tag}))
+
+
 COMMANDS = {
     'train': cmd_train,
     'resume': cmd_resume,
     'eval': cmd_eval,
     'export': cmd_export,
     'gmx': cmd_gmx,
+    'release': cmd_release,
 }
 
 
@@ -188,6 +211,10 @@ def grappa_export():
 
 def grappa_gmx():
     cmd_gmx(sys.argv[1:])
+
+
+def grappa_release():
+    cmd_release(sys.argv[1:])
 
 
 if __name__ == '__main__':

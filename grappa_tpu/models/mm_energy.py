@@ -65,16 +65,38 @@ def internal_coordinates(batch: GraphBatch,
 
 
 def tuple_energies(batch: GraphBatch, params: ParamDict, xyz: jnp.ndarray,
-                   offset_torsion: bool = False) -> Dict[str, jnp.ndarray]:
-    """Masked per-tuple energies (T, C) for every term."""
-    coords = internal_coordinates(batch, xyz)
-    energies = {
-        'n2': harmonic_term_energy(params['n2_k'], params['n2_eq'], coords['n2']),
-        'n3': harmonic_term_energy(params['n3_k'], params['n3_eq'], coords['n3']),
-        'n4': torsion_term_energy(params['n4_k'], coords['n4'], offset_torsion),
-        'n4_improper': torsion_term_energy(
-            params['n4_improper_k'], coords['n4_improper'], offset_torsion),
-    }
+                   offset_torsion: bool = False,
+                   use_fused_torsion: bool = False) -> Dict[str, jnp.ndarray]:
+    """Masked per-tuple energies (T, C) for every term.
+
+    use_fused_torsion routes the torsion terms through the pallas kernel
+    (grappa_tpu.ops.torsion_kernel) — one VMEM pass instead of materialized
+    dihedral intermediates; requires offset_torsion=False and a TPU backend.
+    """
+    b = batch.terms['n2'].idxs
+    energies = {}
+    energies['n2'] = harmonic_term_energy(
+        params['n2_k'], params['n2_eq'],
+        geometry.distance(xyz[b[:, 0]], xyz[b[:, 1]]))
+    a = batch.terms['n3'].idxs
+    energies['n3'] = harmonic_term_energy(
+        params['n3_k'], params['n3_eq'],
+        geometry.bond_angle(xyz[a[:, 0]], xyz[a[:, 1]], xyz[a[:, 2]]))
+    if use_fused_torsion and not offset_torsion:
+        from grappa_tpu.ops.torsion_kernel import (
+            gather_torsion_positions, torsion_energy_fused)
+        for t in ('n4', 'n4_improper'):
+            tb = batch.terms[t]
+            k = jnp.where(tb.mask[:, None], params[f'{t}_k'], 0.0)
+            pos = gather_torsion_positions(xyz, tb.idxs)
+            energies[t] = torsion_energy_fused(pos, k)
+    else:
+        for t in ('n4', 'n4_improper'):
+            p4 = batch.terms[t].idxs
+            phi = geometry.dihedral_angle(
+                xyz[p4[:, 0]], xyz[p4[:, 1]], xyz[p4[:, 2]], xyz[p4[:, 3]])
+            energies[t] = torsion_term_energy(
+                params[f'{t}_k'], phi, offset_torsion)
     return {
         t: jnp.where(batch.terms[t].mask[:, None], e, 0.0)
         for t, e in energies.items()
@@ -82,9 +104,11 @@ def tuple_energies(batch: GraphBatch, params: ParamDict, xyz: jnp.ndarray,
 
 
 def pooled_energy(batch: GraphBatch, params: ParamDict, xyz: jnp.ndarray,
-                  offset_torsion: bool = False) -> Dict[str, jnp.ndarray]:
+                  offset_torsion: bool = False,
+                  use_fused_torsion: bool = False) -> Dict[str, jnp.ndarray]:
     """Per-molecule energies (M, C) per term plus 'total'."""
-    energies = tuple_energies(batch, params, xyz, offset_torsion)
+    energies = tuple_energies(batch, params, xyz, offset_torsion,
+                              use_fused_torsion)
     out = {}
     total = jnp.zeros((batch.num_mols, batch.num_confs), xyz.dtype)
     for t, e in energies.items():
@@ -98,7 +122,8 @@ def pooled_energy(batch: GraphBatch, params: ParamDict, xyz: jnp.ndarray,
 
 
 def energy_and_gradient(batch: GraphBatch, params: ParamDict,
-                        offset_torsion: bool = False
+                        offset_torsion: bool = False,
+                        use_fused_torsion: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Total bonded energy (M, C) and its gradient w.r.t. xyz (N, C, 3).
 
@@ -107,10 +132,12 @@ def energy_and_gradient(batch: GraphBatch, params: ParamDict,
     so losses on it train the parameter model via grad-of-grad.
     """
     def total_energy(xyz):
-        return jnp.sum(pooled_energy(batch, params, xyz, offset_torsion)['energy'])
+        return jnp.sum(pooled_energy(batch, params, xyz, offset_torsion,
+                                     use_fused_torsion)['energy'])
 
     gradient = jax.grad(total_energy)(batch.xyz)
-    energy = pooled_energy(batch, params, batch.xyz, offset_torsion)['energy']
+    energy = pooled_energy(batch, params, batch.xyz, offset_torsion,
+                           use_fused_torsion)['energy']
     return energy, gradient
 
 

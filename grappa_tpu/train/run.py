@@ -173,11 +173,21 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
     finally:
         logger.finish()
 
+    final_metrics = (results.get('history', [])[-1]['metrics']
+                     if results.get('history') else {})
+    if test_loader is not None:
+        from grappa_tpu.train.eval_model import BootstrapEvaluator
+        evaluator = BootstrapEvaluator()
+        for batch, names in test_loader:
+            energy, gradient = trainer.eval_step(trainer.params, batch)
+            evaluator.step(batch, energy, gradient, names)
+        final_metrics = {'val': final_metrics,
+                         'test': evaluator.pool(n_bootstrap=200)}
+
     model_dict = build_model_dict(
         trainer.params, config,
         split_names=split,
-        results=results.get('history', [])[-1]['metrics']
-        if results.get('history') else {},
+        results=final_metrics,
         model=model)
     export_path = run_dir / 'model.npz'
     save_model_dict(model_dict, export_path)
