@@ -49,7 +49,14 @@ class GraphLoader:
                  seed: int = 0,
                  drop_last: bool = False,
                  conf_bucket_base: int = 8,
-                 pad_ratio: float = 1.25):
+                 pad_ratio: float = 1.25,
+                 fixed_pad: bool = None):
+        """fixed_pad: use ONE PadSpec (worst case over the dataset) for every
+        batch, so the whole epoch runs a single compiled program. Default for
+        shuffled (training) loaders — random/weighted sampling otherwise
+        produces combinatorially many padded-shape combinations, each a fresh
+        XLA compile. Sequential loaders default to per-batch buckets (less
+        padding; shape sequence is deterministic anyway)."""
         assert 0.0 <= balance_factor <= 1.0
         if weights and not shuffle:
             raise ValueError("sampling weights require shuffle=True")
@@ -62,8 +69,28 @@ class GraphLoader:
         self.drop_last = drop_last
         self.conf_bucket_base = conf_bucket_base
         self.pad_ratio = pad_ratio
+        self.fixed_pad = shuffle if fixed_pad is None else fixed_pad
+        self._fixed_spec: Optional[PadSpec] = None
         self._rng = np.random.default_rng(seed)
         self._sample_weights = self._compute_sample_weights()
+
+    def _fixed_pad_spec(self, n_confs: int) -> PadSpec:
+        """Worst-case batch PadSpec: the batch_size largest molecules per
+        axis, bucket-rounded (computed once per loader)."""
+        if self._fixed_spec is None or self._fixed_spec.n_confs != n_confs:
+            graphs = [self.dataset.graph(i) for i in range(len(self.dataset))]
+            bs = min(self.batch_size, max(1, len(graphs)))
+            atoms = sorted((g.n_atoms for g in graphs), reverse=True)[:bs]
+            n_nodes = bucket_size(sum(atoms), 64, self.pad_ratio)
+            n_tuples = {}
+            for t in TERMS:
+                counts = sorted((len(g.tuple_idxs[t]) for g in graphs),
+                                reverse=True)[:bs]
+                n_tuples[t] = bucket_size(max(1, sum(counts)), 64,
+                                          self.pad_ratio)
+            self._fixed_spec = PadSpec(n_nodes=n_nodes, n_tuples=n_tuples,
+                                       n_confs=n_confs)
+        return self._fixed_spec
 
     def _compute_sample_weights(self) -> Optional[np.ndarray]:
         if not self.weights and self.balance_factor == 0.0:
@@ -93,6 +120,18 @@ class GraphLoader:
             return self._rng.permutation(n)
         return np.arange(n)
 
+    def _fixed_conf_count(self) -> int:
+        """Dataset-wide conformer count for fixed-pad mode (one value for
+        every batch of this loader)."""
+        max_confs = max((self.dataset.graph(i).n_confs
+                         for i in range(len(self.dataset))), default=1)
+        s = self.conf_strategy
+        if isinstance(s, int):
+            n = min(s, max_confs)
+        else:
+            n = max_confs
+        return bucket_size(max(1, n), self.conf_bucket_base, self.pad_ratio)
+
     def _batch_conf_count(self, graphs: Sequence[MolGraph]) -> int:
         confs = [g.n_confs for g in graphs]
         s = self.conf_strategy
@@ -111,8 +150,12 @@ class GraphLoader:
     def _make_batch(self, idxs) -> Tuple[GraphBatch, Tuple[str, ...]]:
         graphs = [self.dataset.graph(int(i)) for i in idxs]
         names = tuple(self.dataset.ds_names[int(i)] for i in idxs)
-        n_confs = self._batch_conf_count(graphs)
-        pad = bucketed_pad_spec(graphs, n_confs, ratio=self.pad_ratio)
+        if self.fixed_pad:
+            n_confs = self._fixed_conf_count()
+            pad = self._fixed_pad_spec(n_confs)
+        else:
+            n_confs = self._batch_conf_count(graphs)
+            pad = bucketed_pad_spec(graphs, n_confs, ratio=self.pad_ratio)
         batch = collate(graphs, pad=pad, n_confs=n_confs, rng=self._rng)
         return batch, names
 
