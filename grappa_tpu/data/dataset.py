@@ -36,6 +36,17 @@ class Dataset:
                      ds_name: str = 'dataset') -> 'Dataset':
         return cls(entries, [ds_name] * len(entries))
 
+    @classmethod
+    def from_tag(cls, tag: str) -> 'Dataset':
+        """Load a dataset by zoo tag or filesystem path (offline-first:
+        the tag must resolve to a local directory, see grappa_tpu.zoo)."""
+        from grappa_tpu.zoo import dataset_path_from_tag
+        path = dataset_path_from_tag(tag)
+        ds = cls.load(path)
+        if ds.ds_names and all(n in ('dataset', '') for n in ds.ds_names):
+            ds.ds_names = [Path(str(tag)).name] * len(ds)
+        return ds
+
     def __len__(self):
         return len(self.entries)
 

@@ -269,3 +269,148 @@ class OpenmmGrappa(Grappa):
                                         charge_model=charge_model)
         params = self.predict(molecule, check_eq_values=check_eq_values)
         return write_to_system(system, params)
+
+
+def moldata_from_openmm_system(openmm_system, openmm_topology,
+                               xyz: np.ndarray, energy: np.ndarray,
+                               gradient: Optional[np.ndarray] = None,
+                               mol_id: Optional[str] = None,
+                               charge_model: str = 'amber99',
+                               ff_name: str = 'reference_ff'):
+    """Dataset-creation path: build a MolData whose bonded reference targets
+    come from the given openmm system (reference semantics:
+    MolData.from_openmm_system, MolData.py:420-518).
+
+    energy/gradient are the QM values (kcal/mol, kcal/mol/A, xyz in A); the
+    nonbonded contribution of the classical system is subtracted to form the
+    training targets; classical bonded parameters are extracted for
+    regularisation; improper-only reference energies are stored as well.
+    """
+    _require_openmm()
+    import copy as _copy
+    from grappa_tpu.data.moldata import MolData
+    from grappa_tpu.data.parameters import Parameters as _Params
+
+    molecule = molecule_from_openmm(openmm_system, openmm_topology,
+                                    charge_model=charge_model)
+
+    # nonbonded-only system: remove all bonded forces
+    nonbonded_system = remove_forces_from_system(
+        _copy.deepcopy(openmm_system), keep=('Nonbonded', 'CMMotion'))
+    nb_energy, nb_gradient = get_energies(nonbonded_system, xyz)
+
+    # full classical energies for comparison metrics
+    ff_energy, ff_gradient = get_energies(openmm_system, xyz)
+
+    # classical bonded parameters (for regularisation + statistics)
+    classical_params = _classical_parameters_from_openmm(
+        openmm_system, molecule)
+
+    if gradient is None:
+        gradient = np.zeros_like(xyz)
+        nb_gradient = np.zeros_like(xyz)
+
+    energy_ref = energy - nb_energy
+    energy_ref = energy_ref - energy_ref.mean()
+    md = MolData(
+        molecule=molecule, xyz=np.asarray(xyz, np.float32),
+        energy=np.asarray(energy, np.float32),
+        gradient=np.asarray(gradient, np.float32),
+        energy_ref=np.asarray(energy_ref, np.float32),
+        gradient_ref=np.asarray(gradient - nb_gradient, np.float32),
+        mol_id=mol_id or 'openmm-molecule',
+        classical_parameters=classical_params,
+        ff_energy={ff_name: np.asarray(ff_energy, np.float32)},
+        ff_gradient={ff_name: np.asarray(ff_gradient, np.float32)},
+        ff_nonbonded_energy={ff_name: np.asarray(nb_energy, np.float32)},
+        ff_nonbonded_gradient={ff_name: np.asarray(nb_gradient, np.float32)},
+    )
+    return md
+
+
+def _classical_parameters_from_openmm(openmm_system, molecule: Molecule):
+    """Extract harmonic bond/angle + periodic torsion parameters from an
+    openmm system into the molecule's tuple order (reference semantics:
+    Parameters.from_openmm_system / from_lists, Parameters.py:143-424)."""
+    _require_openmm()
+    import openmm
+    import openmm.unit as u
+    from grappa_tpu import constants as C
+    from grappa_tpu.data.parameters import Parameters
+
+    kcal = u.kilocalorie_per_mole
+    ang = u.angstrom
+    rad = u.radian
+
+    params = Parameters.get_nan_params(molecule)
+    id2idx = molecule.index_of()
+    atoms = np.asarray(molecule.atoms)
+
+    bond_lookup = {tuple(sorted(map(int, b))): i
+                   for i, b in enumerate(molecule.bonds)}
+    angle_lookup = {}
+    for i, a in enumerate(molecule.angles):
+        a = tuple(map(int, a))
+        angle_lookup[a] = i
+        angle_lookup[a[::-1]] = i
+    proper_lookup = {}
+    for i, t in enumerate(molecule.propers):
+        t = tuple(map(int, t))
+        proper_lookup[t] = i
+        proper_lookup[t[::-1]] = i
+    improper_lookup = {}
+    for i, t in enumerate(molecule.impropers):
+        t = tuple(map(int, t))
+        # dihedral-invariant permutations: reversal (+), outer/inner swaps (-)
+        improper_lookup[t] = (i, 1)
+        improper_lookup[t[::-1]] = (i, 1)
+        improper_lookup[(t[0], t[2], t[1], t[3])] = (i, -1)
+        improper_lookup[(t[3], t[1], t[2], t[0])] = (i, -1)
+
+    params.proper_ks = np.zeros_like(params.proper_ks)
+    params.proper_phases = np.zeros_like(params.proper_phases)
+    params.improper_ks = np.zeros_like(params.improper_ks)
+    params.improper_phases = np.zeros_like(params.improper_phases)
+
+    for force in openmm_system.getForces():
+        if isinstance(force, openmm.HarmonicBondForce):
+            for i in range(force.getNumBonds()):
+                a, b, eq, k = force.getBondParameters(i)
+                key = tuple(sorted((int(a), int(b))))
+                if key in bond_lookup:
+                    j = bond_lookup[key]
+                    params.bond_eq[j] = eq.value_in_unit(ang)
+                    params.bond_k[j] = k.value_in_unit(kcal / ang ** 2)
+        elif isinstance(force, openmm.HarmonicAngleForce):
+            for i in range(force.getNumAngles()):
+                a, b, c, eq, k = force.getAngleParameters(i)
+                key = (int(a), int(b), int(c))
+                if key in angle_lookup:
+                    j = angle_lookup[key]
+                    params.angle_eq[j] = eq.value_in_unit(rad)
+                    params.angle_k[j] = k.value_in_unit(kcal / rad ** 2)
+        elif isinstance(force, openmm.PeriodicTorsionForce):
+            for i in range(force.getNumTorsions()):
+                a, b, c, d, per, phase, k = force.getTorsionParameters(i)
+                k_val = k.value_in_unit(kcal)
+                if k_val == 0.0:
+                    continue
+                phase_val = phase.value_in_unit(rad)
+                if k_val < 0:  # fold sign into phase
+                    phase_val = (phase_val + np.pi) % (2 * np.pi)
+                    k_val = -k_val
+                key = (int(a), int(b), int(c), int(d))
+                if key in proper_lookup and per <= C.N_PERIODICITY_PROPER:
+                    j = proper_lookup[key]
+                    params.proper_ks[j, per - 1] += k_val
+                    params.proper_phases[j, per - 1] = phase_val
+                elif key in improper_lookup and per <= C.N_PERIODICITY_IMPROPER:
+                    j, sign = improper_lookup[key]
+                    near_0_or_pi = (abs(phase_val) < 1e-2
+                                    or abs(phase_val - np.pi) < 1e-2
+                                    or abs(phase_val - 2 * np.pi) < 1e-2)
+                    if sign == -1 and not near_0_or_pi:
+                        continue  # antisymmetric perm needs phase 0/pi
+                    params.improper_ks[j, per - 1] = k_val
+                    params.improper_phases[j, per - 1] = phase_val
+    return params
