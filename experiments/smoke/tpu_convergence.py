@@ -46,7 +46,8 @@ def main():
         'test_model': True,
     }, config)
     out = do_trainrun(config, project_dir=args.out,
-                      run_name='tpu-convergence', dataset_override=ds)
+                      run_name='tpu-convergence', dataset_override=ds,
+                      cache_batches=True)
     history = out['results']['history']
     series = [{'epoch': h['epoch'],
                'es_loss': round(h['early_stopping_loss'], 3),

@@ -109,7 +109,8 @@ def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
 
 def do_trainrun(config: Dict, project_dir: str = 'runs',
                 run_name: Optional[str] = None,
-                dataset_override: Optional[Dataset] = None) -> Dict:
+                dataset_override: Optional[Dataset] = None,
+                cache_batches: bool = False) -> Dict:
     """Full training run. Returns {model_dict_path, results, run_dir}."""
     validate_config(config)
     run_name = run_name or config['trainer_config'].get('name') or 'run'
@@ -167,7 +168,8 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
                       config['lit_model_config'], config['trainer_config'],
                       out_dir=str(run_dir), full_config=config,
                       log_fn=logger.log,
-                      seed=config['data_config'].get('seed', 0))
+                      seed=config['data_config'].get('seed', 0),
+                      cache_batches=cache_batches)
     try:
         results = trainer.fit()
     finally:

@@ -84,7 +84,8 @@ class Trainer:
                  out_dir: Optional[str] = None,
                  full_config: Optional[Dict] = None,
                  log_fn: Optional[Callable[[Dict], None]] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 cache_batches: bool = False):
         self.model = model
         self.params = params
         self.train_loader = train_loader
@@ -111,6 +112,14 @@ class Trainer:
                 self.restarts + [int(lit_config['param_loss_epochs'])]))
         self.warmup_steps = int(lit_config.get('warmup_steps', 200))
         self._warmup_step: Optional[int] = None
+
+        # device-resident batch cache: collate one epoch of batches once,
+        # keep them in HBM and reshuffle their order per epoch. Removes the
+        # per-step host->device upload entirely (the training bottleneck on
+        # tunneled/remote chips); conformer subsampling is frozen to the
+        # cached draw. Only for datasets whose batches fit in HBM.
+        self.cache_batches = cache_batches
+        self._batch_cache = None
 
         self.epoch = 0
         self.global_step = 0
@@ -176,7 +185,7 @@ class Trainer:
             self._warmup_step = 0
 
         losses = []
-        for batch, ds_names in self.train_loader:
+        for batch, ds_names in self._train_batches():
             weights = self._loss_weights(ds_names, batch.num_mols)
             lr = jnp.float32(self._step_lr())
             self._rng, step_rng = jax.random.split(self._rng)
@@ -189,10 +198,30 @@ class Trainer:
                      'lr': self.lr})
         return mean_loss
 
+    def _train_batches(self):
+        if not self.cache_batches:
+            return iter(self.train_loader)
+        if self._batch_cache is None:
+            self._batch_cache = [
+                (jax.device_put(batch), ds_names)
+                for batch, ds_names in self.train_loader
+            ]
+        order = np.random.default_rng(
+            int(jax.random.randint(self._rng, (), 0, 2**31 - 1))
+        ).permutation(len(self._batch_cache))
+        return iter([self._batch_cache[i] for i in order])
+
     def validate(self) -> Dict[str, Dict[str, float]]:
         if self.val_loader is None:
             return {}
-        for batch, ds_names in self.val_loader:
+        if self.cache_batches:
+            if getattr(self, '_val_cache', None) is None:
+                self._val_cache = [(jax.device_put(b), n)
+                                   for b, n in self.val_loader]
+            batches = self._val_cache
+        else:
+            batches = self.val_loader
+        for batch, ds_names in batches:
             energy, gradient = self.eval_step(self.params, batch)
             self.evaluator.step(batch, energy, gradient, ds_names)
         return self.evaluator.pool()
@@ -206,6 +235,7 @@ class Trainer:
             for k, v in (self.cfg.get('finish_criterion') or {}).items()}
         es_energy_w = float(self.cfg.get('early_stopping_energy_weight', 3.0))
         ckpt_every = int(self.trainer_cfg.get('checkpoint_every', 5))
+        self._last_best_save = -ckpt_every
         start_time = time.time()
 
         for _ in range(max_epochs):
@@ -221,8 +251,14 @@ class Trainer:
                 if es_loss < self.best_loss:
                     self.best_loss = es_loss
                     self.epochs_without_improvement = 0
-                    if self.out_dir:
-                        self.save_checkpoint(self.out_dir / 'best.ckpt')
+                    # best checkpoints: params only (no optimizer state) and
+                    # throttled — device->host transfer of the full Adam
+                    # state is expensive on tunneled chips
+                    if self.out_dir and (
+                            self.epoch - self._last_best_save >= ckpt_every):
+                        self.save_checkpoint(self.out_dir / 'best.ckpt',
+                                             include_opt_state=False)
+                        self._last_best_save = self.epoch
                 else:
                     self.epochs_without_improvement += 1
                     patience = int(self.cfg.get('patience', 50))
@@ -249,13 +285,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
     # checkpointing: msgpack params + optimizer + json sidecar
-    def save_checkpoint(self, path):
+    def save_checkpoint(self, path, include_opt_state: bool = True):
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         (path / 'params.msgpack').write_bytes(
             serialization.to_bytes(self.params))
-        (path / 'opt_state.msgpack').write_bytes(
-            serialization.to_bytes(self.opt_state))
+        if include_opt_state:
+            (path / 'opt_state.msgpack').write_bytes(
+                serialization.to_bytes(self.opt_state))
         meta = {
             'epoch': self.epoch, 'global_step': self.global_step,
             'lr': self.lr, 'best_loss': self.best_loss,
@@ -268,8 +305,9 @@ class Trainer:
         path = Path(path)
         self.params = serialization.from_bytes(
             self.params, (path / 'params.msgpack').read_bytes())
-        self.opt_state = serialization.from_bytes(
-            self.opt_state, (path / 'opt_state.msgpack').read_bytes())
+        if (path / 'opt_state.msgpack').exists():
+            self.opt_state = serialization.from_bytes(
+                self.opt_state, (path / 'opt_state.msgpack').read_bytes())
         meta = json.loads((path / 'meta.json').read_text())
         self.epoch = meta['epoch']
         self.global_step = meta['global_step']
