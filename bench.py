@@ -107,6 +107,8 @@ def torch_baseline_seconds(batch) -> float:
 
 
 def main():
+    from grappa_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     batch, _ = build_batch()
     jax_sec = measure_jax(batch)
     try:

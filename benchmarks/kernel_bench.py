@@ -12,6 +12,8 @@ import numpy as np
 
 
 def main():
+    from grappa_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from grappa_tpu.models import geometry, mm_energy

@@ -77,6 +77,8 @@ def accuracy_delta(batch):
 
 
 def main():
+    from grappa_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     results = []
     for n_mols in (32, 128, 256):
         batch = build_batch(n_mols, 32)

@@ -15,6 +15,8 @@ from grappa_tpu.train.run import do_trainrun
 
 
 def main():
+    from grappa_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs', type=int, default=10)
     ap.add_argument('--n-mols', type=int, default=16)
