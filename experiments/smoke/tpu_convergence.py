@@ -25,7 +25,8 @@ def main():
     args = ap.parse_args()
 
     ds = Dataset.from_moldata(
-        make_dataset(n_mols=args.n_mols, n_confs=16, seed=7), 'synthetic')
+        make_dataset(n_mols=args.n_mols, n_confs=16, seed=7,
+                     learnable=True), 'synthetic')
 
     model_cfg = get_default_model_config()
     # full architecture, but light dropout: this is a fitting-capacity check

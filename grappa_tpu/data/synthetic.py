@@ -87,6 +87,50 @@ def random_parameters(mol: Molecule, seed: int = 0) -> Parameters:
     return p
 
 
+def environment_parameters(mol: Molecule) -> Parameters:
+    """Deterministic 'ground-truth force field': every parameter is a fixed
+    function of the atomic numbers (and degrees) of the tuple atoms, so a
+    model CAN generalize to held-out molecules — unlike random_parameters,
+    whose per-molecule draws make validation loss irreducible. Used for
+    convergence/capacity experiments."""
+    def table(key, lo, hi):
+        # process-stable hash (python's hash() is salted per interpreter)
+        import zlib
+        seed = zlib.crc32(repr(key).encode())
+        rng = np.random.default_rng(seed)
+        return float(lo + (hi - lo) * rng.random())
+
+    zs = {int(a): int(z) for a, z in zip(mol.atoms, mol.atomic_numbers)}
+    deg = {a: len(n) for a, n in mol.neighbor_map.items()}
+
+    p = Parameters.get_nan_params(mol)
+    p.bond_k = np.array([
+        table(('bk',) + tuple(sorted((zs[int(a)], zs[int(b)]))), 300, 900)
+        for a, b in mol.bonds])
+    p.bond_eq = np.array([
+        table(('be',) + tuple(sorted((zs[int(a)], zs[int(b)]))), 1.0, 1.8)
+        for a, b in mol.bonds])
+    p.angle_k = np.array([
+        table(('ak', zs[int(b)], *sorted((zs[int(a)], zs[int(c)]))), 40, 160)
+        for a, b, c in mol.angles])
+    p.angle_eq = np.array([
+        table(('ae', zs[int(b)], *sorted((zs[int(a)], zs[int(c)]))), 1.6, 2.4)
+        for a, b, c in mol.angles])
+    p.proper_ks = np.array([
+        [table(('pk', n, *sorted((zs[int(t[0])], zs[int(t[3])])),
+                *sorted((zs[int(t[1])], zs[int(t[2])]))), 0.0, 1.5 / n)
+         for n in range(1, p.proper_ks.shape[1] + 1)]
+        for t in mol.propers]).reshape(len(mol.propers), -1)
+    p.proper_phases = np.zeros_like(p.proper_ks)
+    p.improper_ks = np.array([
+        [table(('ik', n, zs[int(t[2])], deg.get(int(t[2]), 0)), 0.0, 3.0)
+         if n == 2 else 0.0
+         for n in range(1, p.improper_ks.shape[1] + 1)]
+        for t in mol.impropers]).reshape(len(mol.impropers), -1)
+    p.improper_phases = np.zeros_like(p.improper_ks)
+    return p
+
+
 def embed_conformers(mol: Molecule, n_confs: int, seed: int = 0,
                      noise: float = 0.25) -> np.ndarray:
     """Rough 3D embedding: random-walk layout + per-conformer noise.
@@ -190,10 +234,14 @@ def torch_bonded_energy(mol: Molecule, params: Parameters, xyz: np.ndarray):
 
 def make_moldata(seed: int = 0, n_confs: int = 8,
                  n_atoms: Optional[int] = None,
-                 ds_name: str = 'synthetic') -> MolData:
-    """Full synthetic dataset entry with self-consistent targets."""
+                 ds_name: str = 'synthetic',
+                 learnable: bool = False) -> MolData:
+    """Full synthetic dataset entry with self-consistent targets.
+    learnable=True derives parameters from atomic environments (a fixed
+    ground-truth FF the model can generalize), else random per molecule."""
     mol = random_molecule(seed, n_atoms=n_atoms)
-    params = random_parameters(mol, seed)
+    params = (environment_parameters(mol) if learnable
+              else random_parameters(mol, seed))
     xyz = embed_conformers(mol, n_confs, seed)
     energy, gradient = torch_bonded_energy(mol, params, xyz)
     energy_ref = energy - energy.mean()
@@ -209,6 +257,8 @@ def make_moldata(seed: int = 0, n_confs: int = 8,
 
 
 def make_dataset(n_mols: int = 8, n_confs: int = 8, seed: int = 0,
-                 ds_name: str = 'synthetic') -> List[MolData]:
+                 ds_name: str = 'synthetic',
+                 learnable: bool = False) -> List[MolData]:
     return [make_moldata(seed=seed * 1000 + i, n_confs=n_confs,
-                         ds_name=ds_name) for i in range(n_mols)]
+                         ds_name=ds_name, learnable=learnable)
+            for i in range(n_mols)]
