@@ -116,17 +116,19 @@ def environment_parameters(mol: Molecule) -> Parameters:
     p.angle_eq = np.array([
         table(('ae', zs[int(b)], *sorted((zs[int(a)], zs[int(c)]))), 1.6, 2.4)
         for a, b, c in mol.angles])
+    npp = p.proper_ks.shape[1]
     p.proper_ks = np.array([
         [table(('pk', n, *sorted((zs[int(t[0])], zs[int(t[3])])),
                 *sorted((zs[int(t[1])], zs[int(t[2])]))), 0.0, 1.5 / n)
-         for n in range(1, p.proper_ks.shape[1] + 1)]
-        for t in mol.propers]).reshape(len(mol.propers), -1)
+         for n in range(1, npp + 1)]
+        for t in mol.propers], dtype=np.float64).reshape(-1, npp)
     p.proper_phases = np.zeros_like(p.proper_ks)
+    npi = p.improper_ks.shape[1]
     p.improper_ks = np.array([
         [table(('ik', n, zs[int(t[2])], deg.get(int(t[2]), 0)), 0.0, 3.0)
          if n == 2 else 0.0
-         for n in range(1, p.improper_ks.shape[1] + 1)]
-        for t in mol.impropers]).reshape(len(mol.impropers), -1)
+         for n in range(1, npi + 1)]
+        for t in mol.impropers], dtype=np.float64).reshape(-1, npi)
     p.improper_phases = np.zeros_like(p.improper_ks)
     return p
 
