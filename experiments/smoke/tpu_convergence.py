@@ -26,7 +26,7 @@ def main():
 
     ds = Dataset.from_moldata(
         make_dataset(n_mols=args.n_mols, n_confs=16, seed=7,
-                     learnable=True), 'synthetic')
+                     learnable=True, conf_noise=0.08), 'synthetic')
 
     model_cfg = get_default_model_config()
     # full architecture, but light dropout: this is a fitting-capacity check

@@ -237,14 +237,17 @@ def torch_bonded_energy(mol: Molecule, params: Parameters, xyz: np.ndarray):
 def make_moldata(seed: int = 0, n_confs: int = 8,
                  n_atoms: Optional[int] = None,
                  ds_name: str = 'synthetic',
-                 learnable: bool = False) -> MolData:
+                 learnable: bool = False,
+                 conf_noise: float = 0.25) -> MolData:
     """Full synthetic dataset entry with self-consistent targets.
     learnable=True derives parameters from atomic environments (a fixed
-    ground-truth FF the model can generalize), else random per molecule."""
+    ground-truth FF the model can generalize), else random per molecule.
+    conf_noise: per-coordinate displacement (A); ~0.08 mimics realistic
+    near-equilibrium conformer ensembles, 0.25 is a stress test."""
     mol = random_molecule(seed, n_atoms=n_atoms)
     params = (environment_parameters(mol) if learnable
               else random_parameters(mol, seed))
-    xyz = embed_conformers(mol, n_confs, seed)
+    xyz = embed_conformers(mol, n_confs, seed, noise=conf_noise)
     energy, gradient = torch_bonded_energy(mol, params, xyz)
     energy_ref = energy - energy.mean()
     return MolData(
@@ -260,7 +263,9 @@ def make_moldata(seed: int = 0, n_confs: int = 8,
 
 def make_dataset(n_mols: int = 8, n_confs: int = 8, seed: int = 0,
                  ds_name: str = 'synthetic',
-                 learnable: bool = False) -> List[MolData]:
+                 learnable: bool = False,
+                 conf_noise: float = 0.25) -> List[MolData]:
     return [make_moldata(seed=seed * 1000 + i, n_confs=n_confs,
-                         ds_name=ds_name, learnable=learnable)
+                         ds_name=ds_name, learnable=learnable,
+                         conf_noise=conf_noise)
             for i in range(n_mols)]
