@@ -45,6 +45,7 @@ def main():
                              'warmup_steps': 20, 'patience': 20,
                              'lr_decay': 0.7},
         'trainer_config': {'max_epochs': args.epochs,
+                           'checkpoint_every': 200,
                            'name': 'tpu-convergence'},
         'test_model': True,
     }, config)
