@@ -5,7 +5,7 @@ Prints ONE JSON line:
 
 The measured quantity is complete training steps per second (model forward,
 MM energy, forces via grad, energy+force+param loss, grad-of-grad backward,
-Adam update) on an espaloma-like batch: 32 molecules x 32 conformers, mixed
+Adam update) on an espaloma-like batch: 128 molecules x 32 conformers, mixed
 sizes. vs_baseline compares against a torch-CPU implementation of the same
 architecture/step (benchmarks/torch_baseline.py) — a conservative stand-in
 for the reference's torch/DGL loop (the reference publishes no throughput
@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-N_MOLS = 32
+N_MOLS = 128
 N_CONFS = 32
 SEED = 123
 
@@ -60,7 +60,7 @@ def batch_to_arrays(batch):
     }
 
 
-def measure_jax(batch, n_steps=20, n_warmup=3) -> float:
+def measure_jax(batch, n_steps=100, n_warmup=10) -> float:
     import jax
     import jax.numpy as jnp
     from grappa_tpu.models.grappa_model import make_model, get_default_model_config
@@ -120,7 +120,7 @@ def main():
     steps_per_sec = 1.0 / jax_sec
     vs_baseline = (torch_sec / jax_sec) if torch_sec else 1.0
     print(json.dumps({
-        'metric': 'train_steps_per_sec_32mol_32conf',
+        'metric': 'train_steps_per_sec_128mol_32conf',
         'value': round(steps_per_sec, 3),
         'unit': 'steps/s',
         'vs_baseline': round(vs_baseline, 2),

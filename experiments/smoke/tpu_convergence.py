@@ -41,7 +41,7 @@ def main():
                         'val_conf_strategy': 16, 'train_batch_size': 16,
                         'partition': [0.85, 0.15, 0.0], 'weights': {},
                         'pure_train_datasets': [], 'pure_val_datasets': []},
-        'lit_model_config': {'lr': 3e-4, 'start_qm_epochs': 2,
+        'lit_model_config': {'lr': 1e-3, 'start_qm_epochs': 2,
                              'warmup_steps': 20, 'patience': 400,
                              'lr_decay': 0.7},
         'trainer_config': {'max_epochs': args.epochs,

@@ -38,15 +38,20 @@ def torsion_term_energy(signed_k: jnp.ndarray, phi: jnp.ndarray,
     """sum_n k_n cos(n*phi) (+ |k_n| if offset) per tuple/conformer.
 
     signed_k: (T, P) with periodicity n = column index + 1; phi: (T, C).
+    cos(n*phi) comes from the Chebyshev recurrence on cos(phi) — one cos
+    instead of P of them (the VPU transcendental is the expensive part).
     """
     n_per = signed_k.shape[1]
-    periodicity = jnp.arange(1, n_per + 1, dtype=phi.dtype)  # (P,)
-    # (T, P, C)
-    cosines = jnp.cos(periodicity[None, :, None] * phi[:, None, :])
-    energy = signed_k[:, :, None] * cosines
+    cos_phi = jnp.cos(phi)                                  # (T, C)
+    c_prev = jnp.ones_like(cos_phi)
+    c_cur = cos_phi
+    energy = signed_k[:, 0][:, None] * c_cur
+    for n in range(2, n_per + 1):
+        c_prev, c_cur = c_cur, 2.0 * cos_phi * c_cur - c_prev
+        energy = energy + signed_k[:, n - 1][:, None] * c_cur
     if offset:
-        energy = energy + jnp.abs(signed_k)[:, :, None]
-    return jnp.sum(energy, axis=1)
+        energy = energy + jnp.abs(signed_k).sum(axis=1)[:, None]
+    return energy
 
 
 def internal_coordinates(batch: GraphBatch,

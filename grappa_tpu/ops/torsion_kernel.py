@@ -45,9 +45,15 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 
 def _torsion_tile_kernel(pos_ref, k_ref, energy_ref, *, n_per: int):
-    """One (TILE_T, C) tile: pos (TILE_T, 4, 3, C), k (TILE_T, n_per)."""
+    """One (TILE_T, C) tile: pos (TILE_T, 4, 3, C), k (TILE_T, n_per).
+
+    Trig-free: sum_n k_n cos(n*phi) needs only cos(phi) = x / sqrt(x^2+y^2)
+    (x = n1.n2, y the signed cross term), and cos(n*phi) follows from the
+    Chebyshev recurrence cos((n+1)p) = 2 cos(p) cos(np) - cos((n-1)p) —
+    pure VPU arithmetic, no atan2/cos (which Mosaic doesn't lower anyway).
+    """
     def comp(atom, d):
-        return pos_ref[:, atom, d, :]
+        return pos_ref[atom * 3 + d]
 
     # displacement vectors r01 = x1-x0, r21 = x1-x2, r23 = x3-x2
     r01 = [comp(1, d) - comp(0, d) for d in range(3)]
@@ -66,28 +72,40 @@ def _torsion_tile_kernel(pos_ref, k_ref, energy_ref, *, n_per: int):
     m = cross(n1, n2)
     y = (m[0] * r21[0] + m[1] * r21[1] + m[2] * r21[2]) / norm21
     x = n1[0] * n2[0] + n1[1] * n2[1] + n1[2] * n2[2]
-    degenerate = (x * x + y * y) < _EPS
-    x = jnp.where(degenerate, 1.0, x)
-    y = jnp.where(degenerate, 0.0, y)
-    phi = jnp.arctan2(y, x)                      # (TILE_T, C)
+    r2 = x * x + y * y
+    degenerate = r2 < _EPS
+    cos_phi = jnp.where(degenerate, 1.0,
+                        x * jax.lax.rsqrt(jnp.where(degenerate, 1.0, r2)))
 
-    energy = jnp.zeros_like(phi)
-    for n in range(1, n_per + 1):
-        energy = energy + k_ref[:, n - 1][:, None] * jnp.cos(n * phi)
+    # Chebyshev recurrence over periodicities
+    c_prev = jnp.ones_like(cos_phi)              # cos(0*phi)
+    c_cur = cos_phi                              # cos(1*phi)
+    energy = k_ref[:, 0][:, None] * c_cur
+    for n in range(2, n_per + 1):
+        c_next = 2.0 * cos_phi * c_cur - c_prev
+        c_prev, c_cur = c_cur, c_next
+        energy = energy + k_ref[:, n - 1][:, None] * c_cur
     energy_ref[:] = energy
 
 
 def _forward_pallas(pos: jnp.ndarray, k: jnp.ndarray,
                     tile_t: int = 256) -> jnp.ndarray:
-    """pos (T, 4, 3, C) f32, k (T, P) -> energy (T, C) via pallas."""
+    """pos (T, 4, 3, C) f32, k (T, P) -> energy (T, C) via pallas.
+
+    Internally the positions are laid out (12, T, C) so Mosaic tiles only the
+    trailing (T, C) dims (a (T, 4, 3, C) block would pad the inner dims to
+    full sublane/lane tiles and blow the VMEM budget).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     t_orig, _, _, c_orig = pos.shape
     n_per = k.shape[1]
-    pos = _pad_to(_pad_to(pos, 0, tile_t), 3, 128)
+    # (T, 4, 3, C) -> (12, T, C)
+    pos = jnp.transpose(pos, (1, 2, 0, 3)).reshape(12, t_orig, c_orig)
+    pos = _pad_to(_pad_to(pos, 1, tile_t), 2, 128)
     k = _pad_to(k, 0, tile_t)
-    t_pad, _, _, c_pad = pos.shape
+    _, t_pad, c_pad = pos.shape
 
     grid = (t_pad // tile_t,)
     energy = pl.pallas_call(
@@ -95,7 +113,7 @@ def _forward_pallas(pos: jnp.ndarray, k: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((t_pad, c_pad), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_t, 4, 3, c_pad), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((12, tile_t, c_pad), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_t, n_per), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
