@@ -134,9 +134,12 @@ def environment_parameters(mol: Molecule) -> Parameters:
 
 
 def embed_conformers(mol: Molecule, n_confs: int, seed: int = 0,
-                     noise: float = 0.25) -> np.ndarray:
+                     noise: float = 0.25,
+                     params: Optional[Parameters] = None) -> np.ndarray:
     """Rough 3D embedding: random-walk layout + per-conformer noise.
-    Returns (n_confs, n_atoms, 3) in Angstrom."""
+    Returns (n_confs, n_atoms, 3) in Angstrom. When `params` is given, each
+    bond is placed at its equilibrium length, so conformers sit near the
+    force field's minimum (realistic force magnitudes)."""
     rng = np.random.default_rng(seed + 2)
     n = len(mol.atoms)
     base = np.zeros((n, 3))
@@ -144,7 +147,15 @@ def embed_conformers(mol: Molecule, n_confs: int, seed: int = 0,
     id2idx = mol.index_of()
     placed = {0}
     order = [0]
-    # BFS placement at ~1.4 A bond length in random directions
+    bond_eq = {}
+    if params is not None:
+        for (a, b), eq in zip(np.asarray(params.bonds), params.bond_eq):
+            key = tuple(sorted((int(a), int(b))))
+            if np.isfinite(eq):
+                bond_eq[key] = float(eq)
+    # BFS placement at ~1.4 A bond length; directions rejection-sampled so
+    # no two atoms come closer than ~1.1 A (clash-free, sane angles — random
+    # directions produce 0.1 A overlaps and forces 10x harder than reality)
     queue = [int(mol.atoms[0])]
     while queue:
         a = queue.pop(0)
@@ -152,14 +163,42 @@ def embed_conformers(mol: Molecule, n_confs: int, seed: int = 0,
         for b in nbr.get(a, []):
             bi = id2idx[b]
             if bi not in placed:
-                direction = rng.normal(size=3)
-                direction /= np.linalg.norm(direction)
-                base[bi] = base[ai] + 1.4 * direction
+                length = bond_eq.get(tuple(sorted((a, b))), 1.4)
+                existing = base[sorted(placed)]
+                best, best_dist = None, -1.0
+                for _ in range(30):
+                    direction = rng.normal(size=3)
+                    direction /= np.linalg.norm(direction)
+                    candidate = base[ai] + length * direction
+                    dist = np.linalg.norm(existing - candidate, axis=1)
+                    dist = dist[dist > 1e-9].min() if len(existing) > 1 else 2.0
+                    if dist > best_dist:
+                        best, best_dist = candidate, dist
+                    if dist >= 1.1:
+                        break
+                base[bi] = best
                 placed.add(bi)
                 order.append(bi)
                 queue.append(b)
     confs = base[None] + rng.normal(0, noise, size=(n_confs, n, 3))
     return confs.astype(np.float32)
+
+
+def minimize_geometry(mol: Molecule, params: Parameters, xyz0: np.ndarray,
+                      n_steps: int = 300, lr: float = 5e-3) -> np.ndarray:
+    """Relax one conformer (n_atoms, 3) to a local minimum of the given
+    parameters with torch Adam — synthetic conformers then sample around a
+    true FF minimum like MD/QM ensembles do."""
+    import torch
+
+    x = torch.tensor(xyz0[None], dtype=torch.float64, requires_grad=True)
+    opt = torch.optim.Adam([x], lr=lr)
+    for _ in range(n_steps):
+        opt.zero_grad()
+        energy, _ = _torch_energy_graph(mol, params, x)
+        energy.sum().backward()
+        opt.step()
+    return x.detach().numpy()[0].astype(np.float32)
 
 
 # ----------------------------------------------------------------------
@@ -175,6 +214,15 @@ def torch_bonded_energy(mol: Molecule, params: Parameters, xyz: np.ndarray):
     import torch
 
     x = torch.tensor(xyz, dtype=torch.float64, requires_grad=True)
+    energy, _ = _torch_energy_graph(mol, params, x)
+    grad = torch.autograd.grad(energy.sum(), x)[0]
+    return energy.detach().numpy(), grad.numpy()
+
+
+def _torch_energy_graph(mol: Molecule, params: Parameters, x):
+    """torch energy graph (C,) for coordinates tensor x (C, N, 3)."""
+    import torch
+
     idx = mol.tuple_indices()
 
     def gather(t):
@@ -230,8 +278,7 @@ def torch_bonded_energy(mol: Molecule, params: Parameters, xyz: np.ndarray):
             energy = energy + (
                 k[:, n - 1] * torch.cos(n * phi - ph[:, n - 1])).sum(dim=1)
 
-    grad = torch.autograd.grad(energy.sum(), x)[0]
-    return energy.detach().numpy(), grad.numpy()
+    return energy, x
 
 
 def make_moldata(seed: int = 0, n_confs: int = 8,
@@ -247,7 +294,16 @@ def make_moldata(seed: int = 0, n_confs: int = 8,
     mol = random_molecule(seed, n_atoms=n_atoms)
     params = (environment_parameters(mol) if learnable
               else random_parameters(mol, seed))
-    xyz = embed_conformers(mol, n_confs, seed, noise=conf_noise)
+    xyz = embed_conformers(mol, n_confs, seed, noise=conf_noise,
+                           params=params if learnable else None)
+    if learnable:
+        # relax the base geometry to the FF minimum, then sample around it —
+        # otherwise forces are dominated by the arbitrary embedding strain
+        rng = np.random.default_rng(seed + 5)
+        base = minimize_geometry(mol, params, xyz[0])
+        xyz = (base[None] + rng.normal(0, conf_noise,
+                                       size=(n_confs, len(mol.atoms), 3))
+               ).astype(np.float32)
     energy, gradient = torch_bonded_energy(mol, params, xyz)
     energy_ref = energy - energy.mean()
     return MolData(
