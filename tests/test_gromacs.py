@@ -202,3 +202,55 @@ def test_partial_reparametrization(gmx_model, tmp_path):
     # replacement happened (original kb 224262.4 gone from C-C rows)
     originals = [r for r in bonds if r[4] == '224262.4']
     assert len(originals) == 0
+
+
+def test_written_parameters_roundtrip(gmx_model, tmp_path):
+    """Identity oracle: the parameters written into the .top file, parsed
+    back and converted to grappa units, must equal the model's predictions
+    (the TPU analog of the reference's openmm identity test)."""
+    import numpy as np
+    from grappa_tpu.wrappers.gromacs_wrapper import (
+        ANGLE_EQ_FACTOR, ANGLE_K_FACTOR, BOND_EQ_FACTOR, BOND_K_FACTOR,
+        TORSION_K_FACTOR, molecule_from_moleculetype)
+
+    top_path = tmp_path / 'but.top'
+    top_path.write_text(TOP_TEXT)
+    out_path = tmp_path / 'rt.top'
+    gmx_model.parametrize(top_path, out_path, check_eq_values=False)
+
+    # independent prediction for the same molecule
+    top = GromacsTopology.parse(top_path)
+    mol = molecule_from_moleculetype(top.molecule_types()[0])
+    predicted = gmx_model.predict(mol, check_eq_values=False)
+
+    out = GromacsTopology.parse(out_path)
+    but = out.molecule_types()[0]
+
+    bond_rows = {tuple(sorted((int(r[0]), int(r[1])))): r
+                 for r in but.section('bonds').data_rows()}
+    for i, (a, b) in enumerate(predicted.bonds):
+        row = bond_rows[tuple(sorted((int(a), int(b))))]
+        np.testing.assert_allclose(float(row[3]),
+                                   predicted.bond_eq[i] * BOND_EQ_FACTOR,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(row[4]),
+                                   predicted.bond_k[i] * BOND_K_FACTOR,
+                                   rtol=1e-4)
+
+    # propers: k values per periodicity round-trip (signed k -> phase/k)
+    proper_rows = {}
+    for _, r in but.dihedral_rows():
+        if r[4] == '9':
+            proper_rows.setdefault(tuple(int(x) for x in r[:4]), {})[
+                int(r[7])] = (float(r[5]), float(r[6]))
+    for i, tup in enumerate(predicted.propers):
+        key = tuple(int(x) for x in tup)
+        rows = proper_rows.get(key) or proper_rows.get(key[::-1])
+        assert rows is not None, key
+        for n in range(1, predicted.proper_ks.shape[1] + 1):
+            phase_deg, k_kj = rows[n]
+            np.testing.assert_allclose(
+                k_kj, predicted.proper_ks[i, n - 1] * TORSION_K_FACTOR,
+                rtol=1e-3, atol=1e-5)
+            expected_phase = predicted.proper_phases[i, n - 1] * 180 / np.pi
+            np.testing.assert_allclose(phase_deg, expected_phase, atol=1e-2)
