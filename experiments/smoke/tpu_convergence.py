@@ -41,8 +41,8 @@ def main():
                         'val_conf_strategy': 16, 'train_batch_size': 16,
                         'partition': [0.85, 0.15, 0.0], 'weights': {},
                         'pure_train_datasets': [], 'pure_val_datasets': []},
-        'lit_model_config': {'lr': 1e-3, 'start_qm_epochs': 2,
-                             'warmup_steps': 20, 'patience': 400,
+        'lit_model_config': {'lr': 5e-5, 'start_qm_epochs': 2,
+                             'warmup_steps': 200, 'patience': 600,
                              'lr_decay': 0.7},
         'trainer_config': {'max_epochs': args.epochs,
                            'checkpoint_every': 200,

@@ -70,15 +70,19 @@ class ResidualAttentionBlock(nn.Module):
     layer_norm: bool = True
     self_interaction: bool = True
     dtype: Optional[jnp.dtype] = None
+    zero_init_residual: bool = True
 
     @nn.compact
     def __call__(self, h, neighbors, neighbor_mask, deterministic=True):
+        out_init = (nn.initializers.zeros if self.zero_init_residual
+                    else nn.initializers.lecun_normal())
         if self.layer_norm:
             h = nn.LayerNorm(epsilon=LN_EPS, name='norm')(h)
         h_skip = h
         a = NeighborAttention(self.out_feats, self.num_heads, dtype=self.dtype,
                               name='attention')(h, neighbors, neighbor_mask)
-        a = nn.Dense(self.out_feats, dtype=self.dtype, name='head_reducer')(a)
+        a = nn.Dense(self.out_feats, dtype=self.dtype, kernel_init=out_init,
+                     name='head_reducer')(a)
         a = a.astype(h.dtype)
         a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
         h = a + repeat_interleave_skip(h_skip, self.out_feats)
@@ -90,7 +94,8 @@ class ResidualAttentionBlock(nn.Module):
             x = nn.Dense(4 * self.out_feats, dtype=self.dtype,
                          name='si_dense1')(h)
             x = nn.elu(x)
-            x = nn.Dense(self.out_feats, dtype=self.dtype, name='si_dense2')(x)
+            x = nn.Dense(self.out_feats, dtype=self.dtype,
+                         kernel_init=out_init, name='si_dense2')(x)
             x = nn.elu(x).astype(h.dtype)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             h = x + h_skip

@@ -56,6 +56,7 @@ class FeedForward(nn.Module):
     layer_norm: bool = True
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    zero_init_out: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -63,7 +64,10 @@ class FeedForward(nn.Module):
             x = nn.LayerNorm(epsilon=LN_EPS, name='norm')(x)
         h = nn.Dense(self.hidden_feats, dtype=self.dtype, name='linear1')(x)
         h = nn.elu(h)
-        h = nn.Dense(self.out_feats, dtype=self.dtype, name='linear2')(h)
+        out_init = (nn.initializers.zeros if self.zero_init_out
+                    else nn.initializers.lecun_normal())
+        h = nn.Dense(self.out_feats, dtype=self.dtype,
+                     kernel_init=out_init, name='linear2')(h)
         h = h.astype(x.dtype)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.skip:
@@ -77,6 +81,7 @@ class SelfAttention(nn.Module):
     in float32 regardless of the matmul compute dtype."""
     num_heads: int
     dtype: Optional[jnp.dtype] = None
+    zero_init_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -97,28 +102,41 @@ class SelfAttention(nn.Module):
         weights = nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum('...hst,...thd->...shd', weights, v)
         out = out.reshape(*out.shape[:-2], f)
-        out = nn.Dense(f, dtype=self.dtype, name='out_proj')(out)
+        out_init = (nn.initializers.zeros if self.zero_init_out
+                    else nn.initializers.lecun_normal())
+        out = nn.Dense(f, dtype=self.dtype, kernel_init=out_init,
+                       name='out_proj')(out)
         return out.astype(in_dtype)
 
 
 class TransformerBlock(nn.Module):
-    """Pre-LN self-attention + feed-forward block (DottedAttWithMLP)."""
+    """Pre-LN self-attention + feed-forward block (DottedAttWithMLP).
+
+    zero_init_residual starts every branch-output layer at zero so the deep
+    stack is the identity at initialization (ReZero/Fixup-style) — without
+    it the 7-layer 512-wide config explodes at init and the output scalers
+    saturate into dead gradients (loss freezes at the mean predictor).
+    """
     num_heads: int
     hidden_feats: int
     layer_norm: bool = True
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    zero_init_residual: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.layer_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, name='norm1')(x)
-        attn = SelfAttention(self.num_heads, dtype=self.dtype, name='attn')(x)
+        attn = SelfAttention(self.num_heads, dtype=self.dtype,
+                             zero_init_out=self.zero_init_residual,
+                             name='attn')(x)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = attn + x
         return FeedForward(self.hidden_feats, x.shape[-1], skip=True,
                            layer_norm=self.layer_norm, dropout=self.dropout,
                            dtype=self.dtype,
+                           zero_init_out=self.zero_init_residual,
                            name='ff')(x, deterministic=deterministic)
 
 

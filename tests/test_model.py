@@ -107,6 +107,11 @@ def test_dropout_train_mode(small_setup):
     cfg['gnn_dropout_attention'] = 0.3
     model = make_model(cfg)
     params = model.init(jax.random.key(0), batch)
+    # perturb away from the zero-init residual branches, which make every
+    # dropout site a no-op at exact initialization
+    params = jax.tree.map(
+        lambda x: x + 0.03 * jax.random.normal(jax.random.key(9), x.shape,
+                                               x.dtype), params)
     out1 = model.apply(params, batch, deterministic=False,
                        rngs={'dropout': jax.random.key(1)})
     out2 = model.apply(params, batch, deterministic=False,
