@@ -146,6 +146,7 @@ class GrappaModel(nn.Module):
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
+            learnable_statistics=cfg['learnable_statistics'],
             name='bond_writer',
         )(h, batch.terms['n2'].idxs, deterministic)
 
@@ -165,6 +166,7 @@ class GrappaModel(nn.Module):
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
+            learnable_statistics=cfg['learnable_statistics'],
             name='angle_writer',
         )(h, batch.terms['n3'].idxs, deterministic)
 
@@ -194,6 +196,7 @@ class GrappaModel(nn.Module):
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
+            learnable_statistics=cfg['learnable_statistics'],
             name='proper_writer',
         )(h, batch.terms['n4'].idxs, deterministic)
 
@@ -214,6 +217,7 @@ class GrappaModel(nn.Module):
             dropout=cfg['parameter_dropout'],
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
+            learnable_statistics=cfg['learnable_statistics'],
             name='improper_writer',
         )(h, batch.terms['n4_improper'].idxs, deterministic)
 

@@ -147,6 +147,14 @@ class HarmonicParameterHead(nn.Module):
     dropout: float = 0.0
     layer_norm: bool = True
     dtype: Optional[jnp.dtype] = None
+    learnable_statistics: bool = False
+
+    def _stat(self, name: str, value):
+        """Scaler statistic: a trainable parameter when learnable_statistics
+        (reference parity: final_layer.py learnable mean/std), else baked."""
+        if self.learnable_statistics:
+            return self.param(name, lambda key: jnp.asarray(value, jnp.float32))
+        return jnp.asarray(value, jnp.float32)
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
@@ -167,11 +175,16 @@ class HarmonicParameterHead(nn.Module):
         )(h, idxs, deterministic=deterministic)
         coeffs = coeffs.astype(jnp.float32)
 
+        k_mean = self._stat('k_mean', self.k_mean)
+        k_std = self._stat('k_std', self.k_std)
+        eq_std = self._stat('eq_std', self.eq_std)
         if self.term == 'n2':
-            eq = scalers.to_positive(coeffs[:, 0], self.eq_mean, self.eq_std)
+            eq = scalers.to_positive(coeffs[:, 0],
+                                     self._stat('eq_mean', self.eq_mean),
+                                     eq_std)
         else:
-            eq = scalers.to_range(coeffs[:, 0], np.pi, self.eq_std)
-        k = scalers.to_positive(coeffs[:, 1], self.k_mean, self.k_std)
+            eq = scalers.to_range(coeffs[:, 0], np.pi, eq_std)
+        k = scalers.to_positive(coeffs[:, 1], k_mean, k_std)
         if self.gate:
             k = k * scalers.sigmoid_gate(coeffs[:, 2])
         return k, eq
@@ -195,6 +208,12 @@ class TorsionParameterHead(nn.Module):
     dropout: float = 0.0
     layer_norm: bool = True
     dtype: Optional[jnp.dtype] = None
+    learnable_statistics: bool = False
+
+    def _stat(self, name: str, value):
+        if self.learnable_statistics:
+            return self.param(name, lambda key: jnp.asarray(value, jnp.float32))
+        return jnp.asarray(value, jnp.float32)
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
@@ -220,8 +239,8 @@ class TorsionParameterHead(nn.Module):
         )(h, idxs, deterministic=deterministic)
         coeffs = coeffs.astype(jnp.float32)
 
-        k_std = jnp.asarray(self.k_std, jnp.float32)[None, :self.n_periodicity]
-        k_mean = jnp.asarray(self.k_mean, jnp.float32)[None, :self.n_periodicity]
+        k_std = self._stat('k_std', self.k_std)[None, :self.n_periodicity]
+        k_mean = self._stat('k_mean', self.k_mean)[None, :self.n_periodicity]
         if self.gated:
             gate = nn.sigmoid(coeffs[:, self.n_periodicity:])
             # gated: no mean shift, so the gate can express exact zeros

@@ -97,3 +97,33 @@ def test_fused_torsion_in_energy_path():
     }
     e1, g1 = mm_energy.energy_and_gradient(batch, params)
     assert np.isfinite(np.asarray(e1)).all()
+
+
+def test_learnable_statistics():
+    """learnable_statistics=True turns scaler stats into trainable params
+    that receive gradients (reference: final_layer.py learnable mean/std)."""
+    import jax.numpy as jnp
+    from grappa_tpu.train.loss import LossWeights, molwise_loss
+
+    cfg = get_small_model_config()
+    cfg['learnable_statistics'] = True
+    model = make_model(cfg)
+    md = make_moldata(seed=0, n_confs=3)
+    batch = collate([MolGraph.from_moldata(md)])
+    params = model.init(jax.random.key(0), batch)
+    p = params['params']
+    assert 'k_mean' in p['bond_writer'] and 'k_std' in p['bond_writer']
+    assert 'k_std' in p['proper_writer']
+
+    w = LossWeights(energy=jnp.float32(1.0), gradient=jnp.float32(0.8),
+                    param=jnp.zeros(1), proper_reg=jnp.float32(0.0),
+                    improper_reg=jnp.float32(0.0))
+    grads = jax.grad(
+        lambda p: molwise_loss(batch, model.apply(p, batch), w)[0])(params)
+    g = grads['params']['bond_writer']['k_mean']
+    assert float(np.abs(np.asarray(g))) > 0
+
+    # default config: statistics are NOT parameters
+    model2 = make_model(get_small_model_config())
+    params2 = model2.init(jax.random.key(0), batch)
+    assert 'k_mean' not in params2['params']['bond_writer']
