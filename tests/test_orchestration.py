@@ -111,3 +111,41 @@ def test_classical_ff_metrics():
                                rtol=1e-5)
     # 'qm' is skipped by default, reference_ff present from synthetic data
     assert 'qm' not in out
+
+
+@pytest.mark.slow
+def test_sweep(tmp_path):
+    """Random-search sweep runs trials and records the best."""
+    from grappa_tpu.train.sweep import run_sweep
+
+    ds = Dataset.from_moldata(make_dataset(n_mols=6, n_confs=3, seed=1),
+                              'syn')
+    config = _small_config(max_epochs=2)
+    spec = {
+        'lit_model_config.lr': ('log_uniform', 1e-4, 1e-3),
+        'data_config.train_batch_size': ('choice', [2, 3]),
+    }
+    best = run_sweep(config, spec, n_trials=2,
+                     sweep_dir=str(tmp_path / 'sw'), dataset_override=ds,
+                     max_epochs=2)
+    trials = [json.loads(l) for l in
+              (tmp_path / 'sw' / 'trials.jsonl').read_text().splitlines()]
+    assert len(trials) == 2
+    assert all('params' in t for t in trials)
+    assert (tmp_path / 'sw' / 'best.json').exists()
+
+
+def test_sweep_sampling():
+    from grappa_tpu.train.sweep import sample_value, set_dotted
+    import numpy as np
+    rng = np.random.default_rng(0)
+    assert sample_value(rng, ('choice', [1, 2, 3])) in (1, 2, 3)
+    v = sample_value(rng, ('log_uniform', 1e-5, 1e-3))
+    assert 1e-5 <= v <= 1e-3
+    assert isinstance(sample_value(rng, ('int_uniform', 2, 5)), int)
+    cfg = {'a': {'b': 1}}
+    set_dotted(cfg, 'a.b', 7)
+    assert cfg['a']['b'] == 7
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        set_dotted(cfg, 'a.c', 1)
