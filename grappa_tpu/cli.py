@@ -143,10 +143,13 @@ def cmd_gmx(argv):
     p.add_argument('-t', '--tag', default='latest', help='model tag/path')
     p.add_argument('-c', '--charge-model', default='amber99',
                    choices=['amber99', 'am1BCC'])
+    p.add_argument('--resolve-includes', action='store_true',
+                   help='inline molecule .itp includes before parametrizing')
     args = p.parse_args(argv)
     from grappa_tpu.wrappers.gromacs_wrapper import GromacsGrappa
     ff = GromacsGrappa.from_tag(args.tag)
-    ff.parametrize(args.topology, args.output, charge_model=args.charge_model)
+    ff.parametrize(args.topology, args.output, charge_model=args.charge_model,
+                   resolve_includes=args.resolve_includes)
     print(json.dumps({'written': args.output}))
 
 

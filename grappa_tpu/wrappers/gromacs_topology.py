@@ -122,13 +122,24 @@ class GromacsTopology:
     elements: List[Union[str, Section]]
 
     @classmethod
-    def parse(cls, source: Union[str, Path]) -> 'GromacsTopology':
-        text = (Path(source).read_text()
-                if isinstance(source, Path) or '\n' not in str(source)
-                and Path(str(source)).exists() else str(source))
+    def parse(cls, source: Union[str, Path],
+              resolve_includes: bool = False) -> 'GromacsTopology':
+        """Parse a .top/.itp file or literal text. With resolve_includes,
+        #include "file.itp" lines whose target exists relative to the source
+        file are inlined (force-field includes that are absent, e.g.
+        amber99.ff/..., are kept verbatim)."""
+        is_path = (isinstance(source, Path)
+                   or ('\n' not in str(source) and Path(str(source)).exists()))
+        base_dir = Path(source).parent if is_path else Path('.')
+        text = Path(source).read_text() if is_path else str(source)
+
+        lines = text.splitlines()
+        if resolve_includes:
+            lines = cls._inline_includes(lines, base_dir, depth=0)
+
         elements: List[Union[str, Section]] = []
         current: Optional[Section] = None
-        for line in text.splitlines():
+        for line in lines:
             m = _SECTION_RE.match(line)
             if m:
                 current = Section(name=m.group(1).lower(), header_line=line)
@@ -138,6 +149,25 @@ class GromacsTopology:
             else:
                 elements.append(line)
         return cls(elements)
+
+    @staticmethod
+    def _inline_includes(lines, base_dir: Path, depth: int):
+        if depth > 8:
+            raise ValueError("include nesting too deep (cycle?)")
+        out: List[str] = []
+        for line in lines:
+            stripped = line.strip()
+            if stripped.startswith('#include'):
+                m = re.search(r'#include\s+"([^"]+)"', stripped)
+                target = base_dir / m.group(1) if m else None
+                if target is not None and target.exists():
+                    out.append(f'; inlined from {m.group(1)}')
+                    out.extend(GromacsTopology._inline_includes(
+                        target.read_text().splitlines(), target.parent,
+                        depth + 1))
+                    continue
+            out.append(line)
+        return out
 
     def write(self) -> str:
         out: List[str] = []

@@ -142,11 +142,15 @@ class GromacsGrappa(Grappa):
                     out_path: Union[str, Path] = None,
                     charge_model: str = 'amber99',
                     focus_nrs: Optional[Set[int]] = None,
-                    check_eq_values: bool = True) -> GromacsTopology:
+                    check_eq_values: bool = True,
+                    resolve_includes: bool = False) -> GromacsTopology:
+        """resolve_includes inlines #include'd molecule .itp files present
+        next to the topology (their parametrized content then lives in the
+        output .top); absent force-field includes stay verbatim."""
         top_path = Path(top_path)
         out_path = Path(out_path) if out_path else top_path.with_name(
             top_path.stem + '_grappa' + top_path.suffix)
-        top = GromacsTopology.parse(top_path)
+        top = GromacsTopology.parse(top_path, resolve_includes=resolve_includes)
 
         for mol_type in top.molecule_types():
             if mol_type.name.upper() in SKIP_MOLECULES:

@@ -254,3 +254,31 @@ def test_written_parameters_roundtrip(gmx_model, tmp_path):
                 rtol=1e-3, atol=1e-5)
             expected_phase = predicted.proper_phases[i, n - 1] * 180 / np.pi
             np.testing.assert_allclose(phase_deg, expected_phase, atol=1e-2)
+
+
+def test_include_resolution(gmx_model, tmp_path):
+    """#include'd molecule .itp files are inlined and parametrized; absent
+    force-field includes stay verbatim."""
+    (tmp_path / 'mol.itp').write_text(
+        "[ moleculetype ]\nETH 3\n[ atoms ]\n"
+        " 1 CT 1 ETH C1 1 -0.1 12.011\n 2 CT 1 ETH C2 2 -0.1 12.011\n"
+        " 3 HC 1 ETH H1 3 0.05 1.008\n 4 HC 1 ETH H2 4 0.05 1.008\n"
+        "[ bonds ]\n 1 2 1 0.15 2000\n 1 3 1 0.11 2000\n 2 4 1 0.11 2000\n")
+    top_text = ('#include "amber99.ff/forcefield.itp"\n'
+                '#include "mol.itp"\n\n[ system ]\ne\n[ molecules ]\nETH 1\n')
+    (tmp_path / 'sys.top').write_text(top_text)
+
+    top = GromacsTopology.parse(tmp_path / 'sys.top', resolve_includes=True)
+    mols = top.molecule_types()
+    assert [m.name for m in mols] == ['ETH']
+    assert '#include "amber99.ff/forcefield.itp"' in top.write()
+    # and the wrapper can parametrize the inlined molecule
+    out = tmp_path / 'sys_out.top'
+    import grappa_tpu.wrappers.gromacs_topology as gt
+    parsed = gmx_model.parametrize.__self__ if False else None
+    top2 = GromacsTopology.parse(tmp_path / 'sys.top', resolve_includes=True)
+    gmx_model._parametrize_moleculetype(top2, top2.molecule_types()[0],
+                                        charge_model='amber99',
+                                        focus_nrs=None, check_eq_values=False)
+    rows = top2.molecule_types()[0].section('bonds').data_rows()
+    assert len(rows) == 3 and all(r[2] == '1' for r in rows)
