@@ -149,3 +149,27 @@ def test_sweep_sampling():
     import pytest as _pytest
     with _pytest.raises(KeyError):
         set_dotted(cfg, 'a.c', 1)
+
+
+def test_report_tables(tmp_path):
+    from grappa_tpu.train.report import markdown_table, tex_table, write_report
+    results = {
+        'grappa_tpu': {
+            'spice': {'rmse_energies': 2.1, 'crmse_gradients': 5.9,
+                      'rmse_energies_ci': [2.0, 2.2]},
+            'rna': {'rmse_energies': 3.4, 'crmse_gradients': 3.6},
+        },
+        'gaff-2.11': {
+            'spice': {'rmse_energies': 4.6, 'crmse_gradients': 14.6},
+            'rna': {'rmse_energies': 6.5, 'crmse_gradients': 16.7},
+        },
+    }
+    md = markdown_table(results)
+    assert '| spice | Energy RMSE | **2.1** | 4.6 |' in md
+    tex = tex_table(results)
+    assert r'\textbf{2.1}' in tex and r'\toprule' in tex
+    md_ci = markdown_table(results, with_ci=True)
+    assert '[2.0,2.2]' in md_ci
+    write_report(results, str(tmp_path / 'table'))
+    assert (tmp_path / 'table.md').exists()
+    assert (tmp_path / 'table.tex').exists()
