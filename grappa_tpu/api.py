@@ -8,7 +8,7 @@ similarly-sized molecules reuse the compiled program.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Union
+from typing import Dict, Optional
 
 import jax
 import numpy as np

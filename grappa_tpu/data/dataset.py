@@ -15,7 +15,6 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from grappa_tpu import constants
 from grappa_tpu.data.graph_batch import MolGraph
 from grappa_tpu.data.moldata import MolData
 

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from grappa_tpu import constants
 from grappa_tpu.models.layers import (
     LN_EPS, ChargeEncoding, masked_softmax, repeat_interleave_skip)
 

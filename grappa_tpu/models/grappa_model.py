@@ -13,7 +13,7 @@ grappa_tpu.models.mm_energy for energies/forces.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -21,7 +21,7 @@ sparse kernels, the MXU eats them directly.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

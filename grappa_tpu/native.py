@@ -11,7 +11,7 @@ import ctypes
 import os
 import subprocess
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -11,9 +11,9 @@ into one VMEM pass per (tuple-tile, conformer-block): a single HBM read of
 the positions and a single write of per-tuple energies, everything else in
 registers/VMEM on the VPU.
 
-The backward pass uses the analytic dihedral gradient (the standard MD
-force expression) in plain jax.numpy via custom_vjp, so the training loss
-can differentiate *through* the force (grad-of-grad) exactly like the
+The backward pass runs the jnp reference math through jax.vjp (one fused
+XLA program) via custom_vjp, and is itself differentiable, so the training
+loss can differentiate *through* the force (grad-of-grad) exactly like the
 reference XLA path. Forward/backward parity with models.mm_energy is tested
 to float32 tolerance, including second derivatives.
 
@@ -23,8 +23,6 @@ Layout: T padded to a multiple of 8 (sublanes), C padded to a multiple of
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,7 +7,7 @@ grappa_gmx). matplotlib only; no seaborn dependency.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 

@@ -5,7 +5,6 @@ pin_memory) are accepted but ignored.
 """
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict
 
 import yaml

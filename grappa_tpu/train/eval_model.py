@@ -115,12 +115,29 @@ def classical_ff_metrics(dataset: Dataset, ff_names: Optional[List[str]] = None,
     return {ff: ev.pool(n_bootstrap) for ff, ev in evaluators.items()}
 
 
-def eval_model(model, params, dataset: Dataset, batch_size: int = 8,
+def adaptive_batch_size(dataset: Dataset, forces_per_batch: float = 5e5,
+                        conf_cap: int = 512) -> int:
+    """Batch size from a compute budget: roughly forces_per_batch =
+    batch * max_confs * max_atoms (reference semantics: eval_model.py
+    adaptive batching by forces_per_batch)."""
+    max_atoms = max((len(e.molecule.atoms) for e in dataset.entries),
+                    default=1)
+    max_confs = min(conf_cap, max((e.n_confs for e in dataset.entries),
+                                  default=1))
+    return max(1, int(forces_per_batch / max(1, max_confs * max_atoms)))
+
+
+def eval_model(model, params, dataset: Dataset, batch_size: int = None,
                conf_strategy='max', n_bootstrap: int = 1000,
-               classical: bool = False) -> Dict:
-    """Evaluate a parameter model on a dataset; returns nested metrics."""
+               classical: bool = False,
+               forces_per_batch: float = 5e5) -> Dict:
+    """Evaluate a parameter model on a dataset; returns nested metrics.
+    batch_size defaults to an adaptive value from forces_per_batch."""
     import jax
     from grappa_tpu.models import mm_energy
+
+    if batch_size is None:
+        batch_size = adaptive_batch_size(dataset, forces_per_batch)
 
     @jax.jit
     def step(params, batch):

@@ -10,7 +10,7 @@ the tiny per-dataset dictionary lives on host.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

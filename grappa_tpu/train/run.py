@@ -23,7 +23,7 @@ from grappa_tpu.data.dataset import (
 from grappa_tpu.data.loader import GraphLoader
 from grappa_tpu.models.grappa_model import make_model
 from grappa_tpu.statistics import param_statistics_from_graphs
-from grappa_tpu.train.config import default_config, validate_config, write_yaml
+from grappa_tpu.train.config import validate_config, write_yaml
 from grappa_tpu.train.export import build_model_dict, save_model_dict
 from grappa_tpu.train.logging import MetricLogger
 from grappa_tpu.train.trainer import Trainer

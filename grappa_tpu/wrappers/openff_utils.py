@@ -10,7 +10,7 @@ features can be reproduced.
 from __future__ import annotations
 
 import importlib
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple, Union
 
 import numpy as np
 

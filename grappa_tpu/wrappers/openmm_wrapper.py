@@ -17,7 +17,7 @@ framework never depends on it. Semantics preserved:
 from __future__ import annotations
 
 import importlib
-from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+from typing import Dict, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -289,7 +289,6 @@ def moldata_from_openmm_system(openmm_system, openmm_topology,
     _require_openmm()
     import copy as _copy
     from grappa_tpu.data.moldata import MolData
-    from grappa_tpu.data.parameters import Parameters as _Params
 
     molecule = molecule_from_openmm(openmm_system, openmm_topology,
                                     charge_model=charge_model)
