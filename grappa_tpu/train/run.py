@@ -110,8 +110,10 @@ def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
 def do_trainrun(config: Dict, project_dir: str = 'runs',
                 run_name: Optional[str] = None,
                 dataset_override: Optional[Dataset] = None,
-                cache_batches: bool = False) -> Dict:
-    """Full training run. Returns {model_dict_path, results, run_dir}."""
+                cache_batches: bool = False,
+                mesh=None) -> Dict:
+    """mesh: pass a jax.sharding.Mesh with a 'dp' axis for data-parallel
+    training across chips (see grappa_tpu.parallel)."""
     validate_config(config)
     run_name = run_name or config['trainer_config'].get('name') or 'run'
     run_dir = Path(project_dir) / run_name
@@ -169,7 +171,7 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
                       out_dir=str(run_dir), full_config=config,
                       log_fn=logger.log,
                       seed=config['data_config'].get('seed', 0),
-                      cache_batches=cache_batches)
+                      cache_batches=cache_batches, mesh=mesh)
     try:
         results = trainer.fit()
     finally:

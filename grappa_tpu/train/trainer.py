@@ -85,7 +85,12 @@ class Trainer:
                  full_config: Optional[Dict] = None,
                  log_fn: Optional[Callable[[Dict], None]] = None,
                  seed: int = 0,
-                 cache_batches: bool = False):
+                 cache_batches: bool = False,
+                 mesh=None):
+        """mesh: a jax.sharding.Mesh with a 'dp' axis enables data-parallel
+        training — every optimizer step consumes mesh-size loader batches
+        (which must share padded shapes: the loader's fixed_pad default),
+        computes per-device gradients and psum-averages them over ICI."""
         self.model = model
         self.params = params
         self.train_loader = train_loader
@@ -100,6 +105,13 @@ class Trainer:
             grad_clip=trainer_config.get('gradient_clip_val', 10.0),
             weight_decay=lit_config.get('weight_decay', 0.0))
         self.opt_state = self.tx.init(self.params)
+        self.mesh = mesh
+        if mesh is not None:
+            from grappa_tpu.parallel.dp import make_dp_train_step, replicate
+            self._n_dev = int(mesh.devices.size)
+            self.dp_train_step = make_dp_train_step(model, self.tx, mesh)
+            self.params = replicate(self.params, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
         self.train_step = make_train_step(model, self.tx)
         self.eval_step = make_eval_step(model)
 
@@ -185,18 +197,46 @@ class Trainer:
             self._warmup_step = 0
 
         losses = []
-        for batch, ds_names in self._train_batches():
-            weights = self._loss_weights(ds_names, batch.num_mols)
-            lr = jnp.float32(self._step_lr())
-            self._rng, step_rng = jax.random.split(self._rng)
-            self.params, self.opt_state, loss, _ = self.train_step(
-                self.params, self.opt_state, batch, weights, lr, step_rng)
-            losses.append(loss)
-            self.global_step += 1
+        if self.mesh is not None:
+            losses = self._train_epoch_dp()
+        else:
+            for batch, ds_names in self._train_batches():
+                weights = self._loss_weights(ds_names, batch.num_mols)
+                lr = jnp.float32(self._step_lr())
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.params, self.opt_state, loss, _ = self.train_step(
+                    self.params, self.opt_state, batch, weights, lr, step_rng)
+                losses.append(loss)
+                self.global_step += 1
         mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         self.log_fn({'epoch': self.epoch, 'train_loss': mean_loss,
                      'lr': self.lr})
         return mean_loss
+
+    def _train_epoch_dp(self):
+        """One epoch of data-parallel steps: group mesh-size loader batches
+        (identical padded shapes via fixed_pad) into one shard_map step."""
+        from grappa_tpu.parallel.dp import shard_batches, stack_loss_weights
+        losses = []
+        group, names_group = [], []
+        for batch, ds_names in self._train_batches():
+            group.append(batch)
+            names_group.append(ds_names)
+            if len(group) < self._n_dev:
+                continue
+            stacked = shard_batches(group)
+            weights = stack_loss_weights([
+                self._loss_weights(n, b.num_mols)
+                for b, n in zip(group, names_group)])
+            lr = jnp.float32(self._step_lr())
+            self._rng, step_rng = jax.random.split(self._rng)
+            rngs = jax.random.split(step_rng, self._n_dev)
+            self.params, self.opt_state, loss = self.dp_train_step(
+                self.params, self.opt_state, stacked, weights, lr, rngs)
+            losses.append(loss)
+            self.global_step += 1
+            group, names_group = [], []
+        return losses
 
     def _train_batches(self):
         if not self.cache_batches:

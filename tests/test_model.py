@@ -160,3 +160,45 @@ def test_self_attention_matches_torch():
     j_out = mod.apply(converted, jnp.asarray(x.transpose(1, 0, 2)))
     np.testing.assert_allclose(
         np.asarray(j_out).transpose(1, 0, 2), t_out, rtol=2e-5, atol=2e-5)
+
+
+def test_node_relabeling_equivariance():
+    """Renumbering the atoms of a molecule must permute predictions
+    accordingly (global GNN equivariance — catches any hidden dependence on
+    node order or padding position)."""
+    from grappa_tpu.data import Molecule
+    from grappa_tpu.data.synthetic import random_molecule
+
+    mol = random_molecule(seed=21)
+    n = len(mol.atoms)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)          # new_id = perm[old_index]
+
+    relabeled = Molecule(
+        atoms=perm,
+        bonds=[(perm[a], perm[b]) for a, b in mol.bonds_by_index()],
+        impropers=[tuple(perm[i] for i in t)
+                   for t in mol.tuple_indices()['n4_improper']],
+        atomic_numbers=mol.atomic_numbers,
+        partial_charges=mol.partial_charges,
+        improper_in_correct_format=True,
+        charge_model=mol.charge_model,
+    )
+
+    model = make_model(get_small_model_config())
+    b1 = collate([MolGraph.from_molecule(mol)])
+    params = model.init(jax.random.key(0), b1)
+    from grappa_tpu.api import Grappa
+    ff = Grappa(model, params, {'model_config': get_small_model_config()})
+    p1 = ff.predict(mol, check_eq_values=False)
+    p2 = ff.predict(relabeled, check_eq_values=False)
+
+    # compare bond parameters by id-set lookup
+    lookup2 = {frozenset(map(int, b)): (p2.bond_k[i], p2.bond_eq[i])
+               for i, b in enumerate(p2.bonds)}
+    for i, b in enumerate(p1.bonds):
+        key = frozenset(int(perm[j]) for j in
+                        [list(mol.atoms).index(x) for x in b])
+        k2, eq2 = lookup2[key]
+        np.testing.assert_allclose(p1.bond_k[i], k2, rtol=2e-4)
+        np.testing.assert_allclose(p1.bond_eq[i], eq2, rtol=2e-4)

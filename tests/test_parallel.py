@@ -132,3 +132,32 @@ def test_conf_sharded_energy(setup):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dp_trainer_epoch():
+    """Trainer(mesh=...) runs data-parallel epochs: loss finite and
+    decreasing over a few epochs on the 8-device CPU mesh."""
+    from grappa_tpu.data.dataset import Dataset
+    from grappa_tpu.data.loader import GraphLoader
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.train.trainer import Trainer
+
+    ds = Dataset.from_moldata(
+        make_dataset(n_mols=32, n_confs=4, seed=3), 'syn')
+    loader = GraphLoader(ds, batch_size=2, conf_strategy=4, shuffle=True,
+                         drop_last=True, seed=0)  # 16 batches -> 2 DP steps
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+    mesh = make_mesh(N_DEV)
+    trainer = Trainer(model, params, loader, None,
+                      {'lr': 3e-4, 'start_qm_epochs': 0, 'warmup_steps': 2,
+                       'patience': 0},
+                      {'max_epochs': 4}, out_dir=None, mesh=mesh)
+    l0 = trainer.train_epoch()
+    trainer.epoch += 1
+    for _ in range(3):
+        l_last = trainer.train_epoch()
+        trainer.epoch += 1
+    assert np.isfinite(l0) and np.isfinite(l_last)
+    assert l_last < l0
