@@ -145,12 +145,28 @@ def cmd_gmx(argv):
                    choices=['amber99', 'am1BCC'])
     p.add_argument('--resolve-includes', action='store_true',
                    help='inline molecule .itp includes before parametrizing')
+    p.add_argument('-p', '--plot', default=None,
+                   help='write a violin plot of the predicted parameters')
     args = p.parse_args(argv)
-    from grappa_tpu.wrappers.gromacs_wrapper import GromacsGrappa
+    from grappa_tpu.wrappers.gromacs_wrapper import (
+        GromacsGrappa, molecule_from_moleculetype)
     ff = GromacsGrappa.from_tag(args.tag)
-    ff.parametrize(args.topology, args.output, charge_model=args.charge_model,
-                   resolve_includes=args.resolve_includes)
-    print(json.dumps({'written': args.output}))
+    top = ff.parametrize(args.topology, args.output,
+                         charge_model=args.charge_model,
+                         resolve_includes=args.resolve_includes)
+    if args.plot:
+        from grappa_tpu.plotting import plot_parameters
+        from grappa_tpu.wrappers.gromacs_topology import SKIP_MOLECULES
+        all_params = []
+        for mt in top.molecule_types():
+            if mt.name.upper() in SKIP_MOLECULES or len(mt.atom_rows()) < 2:
+                continue
+            mol = molecule_from_moleculetype(mt, charge_model=args.charge_model)
+            all_params.append(ff.predict(mol, check_eq_values=False))
+        plot_parameters(all_params, filename=args.plot,
+                        title=f'grappa_tpu parameters: {args.topology}')
+    print(json.dumps({'written': args.output,
+                      **({'plot': args.plot} if args.plot else {})}))
 
 
 def cmd_release(argv):
