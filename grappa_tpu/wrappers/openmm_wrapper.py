@@ -330,21 +330,19 @@ def moldata_from_openmm_system(openmm_system, openmm_topology,
 def _classical_parameters_from_openmm(openmm_system, molecule: Molecule):
     """Extract harmonic bond/angle + periodic torsion parameters from an
     openmm system into the molecule's tuple order (reference semantics:
-    Parameters.from_openmm_system / from_lists, Parameters.py:143-424)."""
+    Parameters.from_openmm_system / from_lists, Parameters.py:143-424).
+    Torsion disambiguation is the shared assign_torsion_parameters logic."""
     _require_openmm()
     import openmm
     import openmm.unit as u
-    from grappa_tpu import constants as C
-    from grappa_tpu.data.parameters import Parameters
+    from grappa_tpu.data.parameters import (
+        Parameters, assign_torsion_parameters)
 
     kcal = u.kilocalorie_per_mole
     ang = u.angstrom
     rad = u.radian
 
     params = Parameters.get_nan_params(molecule)
-    id2idx = molecule.index_of()
-    atoms = np.asarray(molecule.atoms)
-
     bond_lookup = {tuple(sorted(map(int, b))): i
                    for i, b in enumerate(molecule.bonds)}
     angle_lookup = {}
@@ -352,25 +350,8 @@ def _classical_parameters_from_openmm(openmm_system, molecule: Molecule):
         a = tuple(map(int, a))
         angle_lookup[a] = i
         angle_lookup[a[::-1]] = i
-    proper_lookup = {}
-    for i, t in enumerate(molecule.propers):
-        t = tuple(map(int, t))
-        proper_lookup[t] = i
-        proper_lookup[t[::-1]] = i
-    improper_lookup = {}
-    for i, t in enumerate(molecule.impropers):
-        t = tuple(map(int, t))
-        # dihedral-invariant permutations: reversal (+), outer/inner swaps (-)
-        improper_lookup[t] = (i, 1)
-        improper_lookup[t[::-1]] = (i, 1)
-        improper_lookup[(t[0], t[2], t[1], t[3])] = (i, -1)
-        improper_lookup[(t[3], t[1], t[2], t[0])] = (i, -1)
 
-    params.proper_ks = np.zeros_like(params.proper_ks)
-    params.proper_phases = np.zeros_like(params.proper_phases)
-    params.improper_ks = np.zeros_like(params.improper_ks)
-    params.improper_phases = np.zeros_like(params.improper_phases)
-
+    torsions, t_ks, t_phases, t_pers = [], [], [], []
     for force in openmm_system.getForces():
         if isinstance(force, openmm.HarmonicBondForce):
             for i in range(force.getNumBonds()):
@@ -391,25 +372,13 @@ def _classical_parameters_from_openmm(openmm_system, molecule: Molecule):
         elif isinstance(force, openmm.PeriodicTorsionForce):
             for i in range(force.getNumTorsions()):
                 a, b, c, d, per, phase, k = force.getTorsionParameters(i)
-                k_val = k.value_in_unit(kcal)
-                if k_val == 0.0:
-                    continue
-                phase_val = phase.value_in_unit(rad)
-                if k_val < 0:  # fold sign into phase
-                    phase_val = (phase_val + np.pi) % (2 * np.pi)
-                    k_val = -k_val
-                key = (int(a), int(b), int(c), int(d))
-                if key in proper_lookup and per <= C.N_PERIODICITY_PROPER:
-                    j = proper_lookup[key]
-                    params.proper_ks[j, per - 1] += k_val
-                    params.proper_phases[j, per - 1] = phase_val
-                elif key in improper_lookup and per <= C.N_PERIODICITY_IMPROPER:
-                    j, sign = improper_lookup[key]
-                    near_0_or_pi = (abs(phase_val) < 1e-2
-                                    or abs(phase_val - np.pi) < 1e-2
-                                    or abs(phase_val - 2 * np.pi) < 1e-2)
-                    if sign == -1 and not near_0_or_pi:
-                        continue  # antisymmetric perm needs phase 0/pi
-                    params.improper_ks[j, per - 1] = k_val
-                    params.improper_phases[j, per - 1] = phase_val
+                torsions.append((int(a), int(b), int(c), int(d)))
+                t_ks.append(k.value_in_unit(kcal))
+                t_phases.append(phase.value_in_unit(rad))
+                t_pers.append(int(per))
+
+    (params.proper_ks, params.proper_phases, params.improper_ks,
+     params.improper_phases) = assign_torsion_parameters(
+        molecule, torsions, t_ks, t_phases, t_pers,
+        allow_skip_improper=True)
     return params

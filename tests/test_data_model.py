@@ -130,3 +130,51 @@ def test_nan_params_shapes():
     assert d['n4_k'].shape == (len(mol.propers), 6)
     assert d['n4_improper_k'].shape == (len(mol.impropers), 3)
     assert np.all(np.isnan(d['n2_k']))
+
+
+def test_assign_torsion_parameters():
+    """The torsion-assignment logic (the reference's from_lists semantics):
+    sign folding, duplicate accumulation, permutation matching."""
+    from grappa_tpu.data.parameters import assign_torsion_parameters
+
+    # chain 0-1-2-3 (one proper) + star center 1 bonded to 0,2,4 (impropers)
+    mol = Molecule(atoms=[0, 1, 2, 3, 4],
+                   bonds=[(0, 1), (1, 2), (2, 3), (1, 4)],
+                   impropers=[(0, 2, 1, 4)],
+                   atomic_numbers=[6, 6, 6, 6, 8],
+                   partial_charges=[0.0] * 5)
+    assert len(mol.propers) == 2 and len(mol.impropers) == 3
+
+    proper = tuple(int(x) for x in mol.propers[0])
+    imp0 = tuple(int(x) for x in mol.impropers[0])
+    # antisymmetric permutation of the first improper version (swap inner)
+    imp_anti = (imp0[0], imp0[2], imp0[1], imp0[3])
+
+    torsions = [
+        proper[::-1],        # reversal matches the proper
+        proper,              # duplicate entry, same phase -> ks add
+        imp_anti,            # improper via antisymmetric permutation
+    ]
+    ks = [1.0, 0.5, -2.0]    # negative k folds to phase+pi
+    phases = [0.0, 0.0, 0.0]
+    periodicities = [2, 2, 2]
+    pk, pp, ik, ip = assign_torsion_parameters(
+        mol, torsions, ks, phases, periodicities)
+    assert pk[0, 1] == pytest.approx(1.5)     # accumulated
+    assert pp[0, 1] == pytest.approx(0.0)
+    assert ik[0, 1] == pytest.approx(2.0)     # |k|
+    assert ip[0, 1] == pytest.approx(np.pi)   # sign folded into phase
+
+    # conflicting duplicate phases -> error
+    with pytest.raises(ValueError, match='different phases'):
+        assign_torsion_parameters(mol, [proper, proper], [1.0, 1.0],
+                                  [0.0, np.pi / 2], [1, 1])
+    # antisymmetric improper with non-0/pi phase -> error (or skip)
+    with pytest.raises(ValueError, match='antisymmetric'):
+        assign_torsion_parameters(mol, [imp_anti], [1.0], [1.0], [2])
+    pk, pp, ik, ip = assign_torsion_parameters(
+        mol, [imp_anti], [1.0], [1.0], [2], allow_skip_improper=True)
+    assert ik.sum() == 0
+    # unknown torsion -> error
+    with pytest.raises(ValueError, match='no canonical'):
+        assign_torsion_parameters(mol, [(0, 3, 4, 2)], [1.0], [0.0], [1])
