@@ -98,6 +98,21 @@ def export_state_dict(params: Dict, model_config: Dict,
     _linear_out(sd, 'gnn.post_dense.0', gnn['post_dense']['kernel'],
                 gnn['post_dense']['bias'])
 
+    # The reference GrappaGNN registers `self.blocks = conv_blocks +
+    # att_blocks` (graph_attention.py:131), which duplicates every block's
+    # tensors under a `gnn.blocks.{i}` alias in the state_dict. Emit the
+    # aliases so the export loads strict into a reference-shaped torch model.
+    n_conv = cfg['gnn_convolutions']
+    if n_conv + cfg['gnn_attentional_layers'] > 0:
+        alias = {}
+        for key, val in sd.items():
+            for prefix, offset in (('gnn.conv_blocks.', 0),
+                                   ('gnn.att_blocks.', n_conv)):
+                if key.startswith(prefix):
+                    i, tail = key[len(prefix):].split('.', 1)
+                    alias[f'gnn.blocks.{offset + int(i)}.{tail}'] = val
+        sd.update(alias)
+
     for writer, _, model_name in _WRITERS:
         wp = p[f'{writer}_writer']['head']
         base = f'parameter_writer.{writer}_writer'
@@ -122,6 +137,17 @@ def export_state_dict(params: Dict, model_config: Dict,
             _linear_out(sd, f'{tbase}.ff.linear2',
                         blk['ff']['linear2']['kernel'],
                         blk['ff']['linear2']['bias'])
+        # the reference GrappaTransformer stores its (constant) positional
+        # encoding as a buffer (perm_equiv_transformer.py:188) — emit it
+        if cfg['positional_encoding'] and writer != 'bond':
+            if writer == 'improper' and cfg['wrong_symmetry']:
+                enc = [[0.0], [0.0], [1.0], [0.0]]
+            elif writer == 'angle':
+                enc = [[0.0], [1.0], [0.0]]
+            else:
+                enc = [[0.0], [1.0], [1.0], [0.0]]
+            sd[f'{base}.{model_name}.grappa_transformer.positional_encoding'] \
+                = _t(np.asarray(enc, np.float32))
         sym_depth = cfg[f'{writer}_symmetriser_depth']
         for i in range(sym_depth):
             blk = wp['symmetriser'][f'mlp_{i}']
