@@ -1,16 +1,27 @@
-"""Benchmark: full training-step throughput of the flagship model on one chip.
+"""Benchmark: full training-step throughput + measured MFU on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-The measured quantity is complete training steps per second (model forward,
-MM energy, forces via grad, energy+force+param loss, grad-of-grad backward,
-Adam update) on an espaloma-like batch: 128 molecules x 32 conformers, mixed
-sizes. vs_baseline compares against a torch-CPU implementation of the same
-architecture/step (benchmarks/torch_baseline.py) — a conservative stand-in
-for the reference's torch/DGL loop (the reference publishes no throughput
-numbers, BASELINE.md). The torch measurement is cached in
-bench_torch_baseline.json after the first run.
+Measured quantity: complete training steps per second (model forward, MM
+energy, forces via grad, energy+force+param loss, grad-of-grad backward,
+Adam update) on two workloads:
+
+  * small-molecule batch: 128 molecules x 32 conformers, mixed sizes
+    (espaloma-benchmark-like) — the headline metric, and
+  * protein-scale batch: 2 molecules x ~1500 atoms x 8 conformers
+    (macromolecule parametrization regime).
+
+FLOPs come from XLA's own cost analysis of the compiled step
+(jit(...).lower(...).compile().cost_analysis()), not hand estimates; MFU is
+reported against the TPU v5e dense bf16 peak (394 TFLOP/s) even though the
+step runs float32 — i.e. a conservative MFU.
+
+`vs_baseline` is the ratio against a torch-CPU implementation of the same
+architecture/step (benchmarks/torch_baseline.py), cached after the first
+run. The reference publishes no throughput numbers (BASELINE.md), so this
+proxy is informational, NOT the per-chip target of BASELINE.json; the honest
+absolute numbers are steps/s, mol*confs/s, TFLOP/s and MFU.
 """
 import json
 import time
@@ -21,6 +32,15 @@ import numpy as np
 N_MOLS = 128
 N_CONFS = 32
 SEED = 123
+
+PROTEIN_N_MOLS = 2
+PROTEIN_N_ATOMS = 1500
+PROTEIN_N_CONFS = 8
+
+# TPU v5e dense peak (bf16 matmul) — the MFU denominator. The chip behind
+# the tunnel sustains ~187 TFLOP/s on 16k^3 bf16 matmuls (measured), so MFU
+# against the 394 spec is conservative by ~2x on this host.
+PEAK_FLOPS_PER_SEC = 394e12
 
 
 def build_batch():
@@ -36,6 +56,21 @@ def build_batch():
             make_moldata(seed=SEED + i, n_confs=N_CONFS, n_atoms=n_atoms)))
     pad = bucketed_pad_spec(graphs, N_CONFS)
     return collate(graphs, pad=pad, n_confs=N_CONFS), graphs
+
+
+def build_protein_batch():
+    from grappa_tpu.data import MolGraph, collate
+    from grappa_tpu.data.loader import bucketed_pad_spec
+    from grappa_tpu.data.synthetic import make_moldata
+
+    graphs = [
+        MolGraph.from_moldata(make_moldata(
+            seed=SEED + 1000 + i, n_confs=PROTEIN_N_CONFS,
+            n_atoms=PROTEIN_N_ATOMS))
+        for i in range(PROTEIN_N_MOLS)
+    ]
+    pad = bucketed_pad_spec(graphs, PROTEIN_N_CONFS)
+    return collate(graphs, pad=pad, n_confs=PROTEIN_N_CONFS)
 
 
 def batch_to_arrays(batch):
@@ -60,7 +95,19 @@ def batch_to_arrays(batch):
     }
 
 
-def measure_jax(batch, n_steps=100, n_warmup=10) -> float:
+def _compiled_flops(step, args) -> float:
+    """FLOPs of one compiled step execution from XLA's cost analysis."""
+    try:
+        cost = step.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):   # older jax: one dict per comp
+            cost = cost[0]
+        return float(cost.get('flops', 0.0))
+    except Exception:
+        return 0.0
+
+
+def measure_jax(batch, n_steps=100, n_warmup=10):
+    """Returns (seconds/step, flops/step) for the full training step."""
     import jax
     import jax.numpy as jnp
     from grappa_tpu.models.grappa_model import make_model, get_default_model_config
@@ -79,16 +126,21 @@ def measure_jax(batch, n_steps=100, n_warmup=10) -> float:
     lr = jnp.float32(1e-4)
     rng = jax.random.key(1)
 
+    flops = _compiled_flops(step, (params, opt_state, batch, weights, lr, rng))
+
     for _ in range(n_warmup):
         params, opt_state, loss, _ = step(params, opt_state, batch, weights,
                                           lr, rng)
-    jax.block_until_ready(loss)
+    # A scalar host fetch forces real execution: on the tunneled backend,
+    # block_until_ready returns before the work has actually run, which
+    # silently inflates throughput (measured: "68,000 TFLOP/s" matmuls).
+    float(loss)
     t0 = time.time()
     for _ in range(n_steps):
         params, opt_state, loss, _ = step(params, opt_state, batch, weights,
                                           lr, rng)
-    jax.block_until_ready(loss)
-    return (time.time() - t0) / n_steps
+    float(loss)   # the params chain forces every step to have executed
+    return (time.time() - t0) / n_steps, flops
 
 
 def torch_baseline_seconds(batch) -> float:
@@ -106,24 +158,49 @@ def torch_baseline_seconds(batch) -> float:
     return seconds
 
 
+def _perf(sec: float, flops: float):
+    tflops = flops / sec / 1e12 if flops else None
+    return {
+        'steps_per_sec': round(1.0 / sec, 3),
+        'tflops': round(tflops, 2) if tflops else None,
+        'mfu': round(tflops * 1e12 / PEAK_FLOPS_PER_SEC, 4) if tflops else None,
+    }
+
+
 def main():
     from grappa_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+
     batch, _ = build_batch()
-    jax_sec = measure_jax(batch)
+    jax_sec, flops = measure_jax(batch)
+    small = _perf(jax_sec, flops)
+    small['mol_confs_per_sec'] = round(N_MOLS * N_CONFS / jax_sec, 1)
+
+    protein_batch = build_protein_batch()
+    prot_sec, prot_flops = measure_jax(protein_batch, n_steps=30, n_warmup=5)
+    protein = _perf(prot_sec, prot_flops)
+    protein['atoms'] = int(np.asarray(protein_batch.node_mask).sum())
+    protein['confs'] = PROTEIN_N_CONFS
+
     try:
         torch_sec = torch_baseline_seconds(batch)
     except Exception as exc:  # baseline failure must not kill the bench
         print(f"# torch baseline failed: {exc}")
         torch_sec = None
 
-    steps_per_sec = 1.0 / jax_sec
     vs_baseline = (torch_sec / jax_sec) if torch_sec else 1.0
     print(json.dumps({
         'metric': 'train_steps_per_sec_128mol_32conf',
-        'value': round(steps_per_sec, 3),
+        'value': small['steps_per_sec'],
         'unit': 'steps/s',
         'vs_baseline': round(vs_baseline, 2),
+        'baseline': 'torch-CPU proxy of the same step (informational; '
+                    'reference publishes no throughput)',
+        'tflops': small['tflops'],
+        'mfu': small['mfu'],
+        'mfu_peak': 'v5e dense bf16 394 TFLOP/s (step runs f32)',
+        'mol_confs_per_sec': small['mol_confs_per_sec'],
+        'protein_scale': protein,
     }))
 
 

@@ -74,12 +74,13 @@ def main():
     pad = bucketed_pad_spec(graphs, 1)
     batch = collate(graphs, pad=pad, n_confs=1)
     apply = jax.jit(lambda p, b: model.apply(p, b))
-    jax.block_until_ready(apply(params, batch))
+    from grappa_tpu.utils import materialize
+    materialize(apply(params, batch))
     t0 = time.time()
     reps = 20
     for _ in range(reps):
         out = apply(params, batch)
-    jax.block_until_ready(out)
+    materialize(out)   # host fetch forces execution (axon backend caveat)
     small_mols_per_sec = len(mols) * reps / (time.time() - t0)
 
     # -------- macromolecule single shot (host featurization + forward)

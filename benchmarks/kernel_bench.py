@@ -45,12 +45,14 @@ def main():
         err = float(jnp.abs(e_fused - e_ref).max())
 
         def bench(fn, *args, n=50):
-            fn(*args)
-            jax.block_until_ready(fn(*args))
+            from grappa_tpu.utils import materialize
+            materialize(fn(*args))
             t0 = time.time()
             for _ in range(n):
                 out = fn(*args)
-            jax.block_until_ready(out)
+            # host fetch forces execution; TPU stream is in-order so all n
+            # dispatches have run when the last result arrives
+            materialize(out)
             return (time.time() - t0) / n * 1e6  # us
 
         us_fused = bench(fused, xyz, k)

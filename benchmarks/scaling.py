@@ -46,12 +46,13 @@ def measure(batch, compute_dtype, n_steps=20, n_warmup=3):
     for _ in range(n_warmup):
         params, opt_state, loss, _ = step(params, opt_state, batch, weights,
                                           lr, rng)
-    jax.block_until_ready(loss)
+    from grappa_tpu.utils import materialize
+    materialize(loss)
     t0 = time.time()
     for _ in range(n_steps):
         params, opt_state, loss, _ = step(params, opt_state, batch, weights,
                                           lr, rng)
-    jax.block_until_ready(loss)
+    materialize(loss)   # host fetch forces execution (axon backend caveat)
     return (time.time() - t0) / n_steps
 
 
