@@ -78,12 +78,19 @@ def default_config() -> Dict:
     }
 
 
+# dict-valued config entries that are DATA (arbitrary keys), not schema —
+# replaced wholesale instead of key-validated recursive merge
+_LEAF_DICT_KEYS = {'weights', 'finish_criterion', 'param_weights_by_dataset',
+                   'in_feat_dims'}
+
+
 def overwrite_config(updates: Dict, config: Dict) -> Dict:
     """Recursively apply updates; unknown keys raise."""
     for k, v in updates.items():
         if k not in config:
             raise KeyError(f"Key {k} not in config.")
-        if isinstance(v, dict) and isinstance(config[k], dict):
+        if (isinstance(v, dict) and isinstance(config[k], dict)
+                and k not in _LEAF_DICT_KEYS):
             overwrite_config(v, config[k])
         else:
             config[k] = v
