@@ -57,15 +57,21 @@ def cmd_eval(argv):
                    help='also evaluate stored classical force fields')
     p.add_argument('--n-bootstrap', type=int, default=1000)
     p.add_argument('-o', '--output', default=None, help='results json path')
+    p.add_argument('--plots', default=None, metavar='DIR',
+                   help='write per-dataset parameter scatter/violin plots')
+    p.add_argument('--no-write', action='store_true',
+                   help="don't write results back into the model file")
     args = p.parse_args(argv)
 
-    from grappa_tpu.train.export import load_model_dict, model_from_dict
+    from grappa_tpu.train.export import (load_model_dict, model_from_dict,
+                                         save_model_dict)
     from grappa_tpu.train.eval_model import eval_model
     from grappa_tpu.train.run import load_datasets
     from grappa_tpu.data.dataset import load_split
     from grappa_tpu.zoo import model_path_from_tag
 
-    model_dict = load_model_dict(model_path_from_tag(args.tag))
+    model_path = model_path_from_tag(args.tag)
+    model_dict = load_model_dict(model_path)
     model, params, config = model_from_dict(model_dict)
     ds = load_datasets(args.datasets)
     ds.remove_uncommon_features()
@@ -78,10 +84,18 @@ def cmd_eval(argv):
                                   split.get('test', []))
             ds = {'train': tr, 'val': vl, 'test': te}[args.set]
     results = eval_model(model, params, ds, n_bootstrap=args.n_bootstrap,
-                         classical=args.classical)
+                         classical=args.classical, plot_dir=args.plots,
+                         config=model_dict.get('config'))
     text = json.dumps(results, indent=1)
     if args.output:
         Path(args.output).write_text(text)
+    if not args.no_write:
+        # store results into the model file like the reference grappa_eval
+        # (reference eval_model.py:231-280 writes into the .pth)
+        stored = dict(model_dict.get('results') or {})
+        stored[args.set] = {k: v for k, v in results.items() if k != 'plots'}
+        model_dict['results'] = stored
+        save_model_dict(model_dict, model_path)
     print(text)
 
 

@@ -58,19 +58,28 @@ def plot_parameters(parameters: Union[Parameters, Sequence[Parameters]],
     return fig, axes
 
 
-def compare_parameters(params_x: Parameters, params_y: Parameters,
+def compare_parameters(params_x: Union[Parameters, Sequence[Parameters]],
+                       params_y: Union[Parameters, Sequence[Parameters]],
                        filename: Optional[str] = None,
                        xlabel: str = 'reference',
-                       ylabel: str = 'predicted'):
-    """Scatter of y vs x per parameter type (tuples must align)."""
+                       ylabel: str = 'predicted',
+                       title: Optional[str] = None):
+    """Scatter of y vs x per parameter type (tuples must align) — the
+    reference's per-parameter calibration plot (Parameters.py:646-923,
+    evaluation.py:389-408). Accepts single Parameters or aligned lists."""
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
+    if isinstance(params_x, Parameters):
+        params_x = [params_x]
+    if isinstance(params_y, Parameters):
+        params_y = [params_y]
+
     fig, axes = plt.subplots(2, 3, figsize=(14, 8))
     for ax, (key, label) in zip(axes.flat, _PARAM_PANELS):
-        x = _values(params_x, key)
-        y = _values(params_y, key)
+        x = np.concatenate([_values(p, key) for p in params_x])
+        y = np.concatenate([_values(p, key) for p in params_y])
         n = min(len(x), len(y))
         x, y = x[:n], y[:n]
         good = np.isfinite(x) & np.isfinite(y)
@@ -82,6 +91,8 @@ def compare_parameters(params_x: Parameters, params_y: Parameters,
         ax.set_title(label)
         ax.set_xlabel(xlabel)
         ax.set_ylabel(ylabel)
+    if title:
+        fig.suptitle(title)
     fig.tight_layout()
     if filename:
         fig.savefig(filename, dpi=120)

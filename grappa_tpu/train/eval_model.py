@@ -15,68 +15,80 @@ import numpy as np
 
 from grappa_tpu.data.dataset import Dataset
 from grappa_tpu.data.loader import GraphLoader
-from grappa_tpu.train.evaluator import _per_mol_sqerr
+from grappa_tpu.train.evaluator import _per_mol_full_stats
+
+
+_ACC_KEYS = ('e_se', 'e_ae', 'n_e', 'g_se', 'g_ae_vec', 'n_vec',
+             'eref_sum', 'eref_sq', 'gref_sum', 'gref_sq')
+# metric keys that get bootstrap CIs (reference eval_model.py METRIC_KEYS)
+_METRIC_KEYS = ('rmse_energies', 'rmse_gradients', 'crmse_gradients',
+                'mae_energies', 'mae_gradients')
+
+
+def _metrics_from_acc(acc: Dict[str, np.ndarray], idx=None) -> Dict[str, float]:
+    """Pooled metric set from per-molecule accumulators (reference
+    Evaluator.get_metrics, evaluation.py:360-384): rmse/mae of centered
+    energies, invariant (per-3-vector) gradient rmse/mae, component crmse,
+    and the std of the reference values."""
+    a = {k: (v[idx] if idx is not None else v) for k, v in acc.items()}
+    n_e = max(a['n_e'].sum(), 1.0)
+    n_vec = max(a['n_vec'].sum(), 1.0)
+    n_comp = 3.0 * n_vec
+    g_rmse = float(np.sqrt(a['g_se'].sum() / n_vec))
+    eref_var = a['eref_sq'].sum() / n_e - (a['eref_sum'].sum() / n_e) ** 2
+    gref_var = (a['gref_sq'].sum() / n_comp
+                - (a['gref_sum'].sum() / n_comp) ** 2)
+    return {
+        'rmse_energies': float(np.sqrt(a['e_se'].sum() / n_e)),
+        'mae_energies': float(a['e_ae'].sum() / n_e),
+        'rmse_gradients': g_rmse,
+        'crmse_gradients': g_rmse / float(np.sqrt(3.0)),
+        'mae_gradients': float(a['g_ae_vec'].sum() / n_vec),
+        'std_energies': float(np.sqrt(max(eref_var, 0.0))),
+        'std_gradients': float(np.sqrt(max(gref_var, 0.0) * 3.0)),
+    }
 
 
 class BootstrapEvaluator:
-    """Accumulates per-molecule squared errors; pools with bootstrap CIs."""
+    """Accumulates per-molecule error statistics; pools the full reference
+    Evaluator metric set with molecule-level bootstrap CIs."""
 
     def __init__(self):
-        self._data = defaultdict(lambda: {'e_se': [], 'n_e': [],
-                                          'g_se': [], 'n_g': []})
+        self._data = defaultdict(lambda: {k: [] for k in _ACC_KEYS})
 
     def step(self, batch, energy, gradient, ds_names: Sequence[str]):
-        e_se, n_e, g_se, n_g = map(np.asarray,
-                                   _per_mol_sqerr(batch, energy, gradient))
+        stats = {k: np.asarray(v) for k, v in
+                 _per_mol_full_stats(batch, energy, gradient).items()}
         for i, name in enumerate(ds_names):
             d = self._data[name]
-            d['e_se'].append(float(e_se[i]))
-            d['n_e'].append(float(n_e[i]))
-            d['g_se'].append(float(g_se[i]))
-            d['n_g'].append(float(n_g[i]))
+            for k in _ACC_KEYS:
+                d[k].append(float(stats[k][i]))
 
-    def add_molecule(self, ds_name: str, e_se: float, n_e: float,
-                     g_se: float, n_g: float):
+    def add_molecule(self, ds_name: str, **stats: float):
         d = self._data[ds_name]
-        d['e_se'].append(e_se)
-        d['n_e'].append(n_e)
-        d['g_se'].append(g_se)
-        d['n_g'].append(n_g)
+        for k in _ACC_KEYS:
+            d[k].append(float(stats.get(k, 0.0)))
 
     def pool(self, n_bootstrap: int = 1000, seed: int = 0
              ) -> Dict[str, Dict[str, float]]:
         rng = np.random.default_rng(seed)
         metrics: Dict[str, Dict[str, float]] = {}
         for name, d in self._data.items():
-            e_se = np.array(d['e_se'])
-            n_e = np.array(d['n_e'])
-            g_se = np.array(d['g_se'])
-            n_g = np.array(d['n_g'])
-
-            def rmse(se, n, idx=None):
-                if idx is not None:
-                    se, n = se[idx], n[idx]
-                return float(np.sqrt(se.sum() / max(n.sum(), 1.0)))
-
-            entry = {
-                'rmse_energies': rmse(e_se, n_e),
-                'rmse_gradients': rmse(g_se, n_g),
-                'crmse_gradients': rmse(g_se, n_g) / np.sqrt(3.0),
-                'n_mols': int(len(e_se)),
-                'n_confs': int(n_e.sum()),
-            }
-            if n_bootstrap and len(e_se) > 1:
-                boot_e, boot_g = [], []
+            acc = {k: np.asarray(v, np.float64) for k, v in d.items()}
+            entry = _metrics_from_acc(acc)
+            entry['n_mols'] = int(len(acc['e_se']))
+            entry['n_confs'] = int(acc['n_e'].sum())
+            n = entry['n_mols']
+            if n_bootstrap and n > 1:
+                boot = {k: [] for k in _METRIC_KEYS}
                 for _ in range(n_bootstrap):
-                    idx = rng.integers(0, len(e_se), len(e_se))
-                    boot_e.append(rmse(e_se, n_e, idx))
-                    boot_g.append(rmse(g_se, n_g, idx))
-                entry['rmse_energies_ci'] = [
-                    float(np.percentile(boot_e, 2.5)),
-                    float(np.percentile(boot_e, 97.5))]
-                entry['rmse_gradients_ci'] = [
-                    float(np.percentile(boot_g, 2.5)),
-                    float(np.percentile(boot_g, 97.5))]
+                    idx = rng.integers(0, n, n)
+                    m = _metrics_from_acc(acc, idx)
+                    for k in _METRIC_KEYS:
+                        boot[k].append(m[k])
+                for k in _METRIC_KEYS:
+                    entry[f'{k}_ci'] = [float(np.percentile(boot[k], 2.5)),
+                                        float(np.percentile(boot[k], 97.5))]
             metrics[name] = entry
         return metrics
 
@@ -98,20 +110,31 @@ def classical_ff_metrics(dataset: Dataset, ff_names: Optional[List[str]] = None,
                 e = e - np.asarray(nb, np.float64)
             e_c = e - e.mean()
             ref_c = e_ref - e_ref.mean()
-            e_se = float(((e_c - ref_c) ** 2).sum())
-            n_e = float(len(e))
+            stats = {
+                'e_se': float(((e_c - ref_c) ** 2).sum()),
+                'e_ae': float(np.abs(e_c - ref_c).sum()),
+                'n_e': float(len(e)),
+                'eref_sum': float(ref_c.sum()),
+                'eref_sq': float((ref_c ** 2).sum()),
+            }
             g = entry.ff_gradient.get(ff)
             if g is not None:
                 g = np.asarray(g, np.float64)
                 nbg = entry.ff_nonbonded_gradient.get(ff)
                 if nbg is not None:
                     g = g - np.asarray(nbg, np.float64)
-                g_se = float(((g - entry.gradient_ref) ** 2).sum())
-                n_g = float(g.shape[0] * g.shape[1])
-            else:
-                g_se, n_g = 0.0, 0.0
+                diff = g - entry.gradient_ref
+                stats.update({
+                    'g_se': float((diff ** 2).sum()),
+                    'g_ae_vec': float(np.sqrt((diff ** 2).sum(axis=-1)).sum()),
+                    'n_vec': float(g.shape[0] * g.shape[1]),
+                    'gref_sum': float(np.asarray(entry.gradient_ref,
+                                                 np.float64).sum()),
+                    'gref_sq': float((np.asarray(entry.gradient_ref,
+                                                 np.float64) ** 2).sum()),
+                })
             evaluators.setdefault(ff, BootstrapEvaluator()).add_molecule(
-                ds_name, e_se, n_e, g_se, n_g)
+                ds_name, **stats)
     return {ff: ev.pool(n_bootstrap) for ff, ev in evaluators.items()}
 
 
@@ -127,12 +150,44 @@ def adaptive_batch_size(dataset: Dataset, forces_per_batch: float = 5e5,
     return max(1, int(forces_per_batch / max(1, max_confs * max_atoms)))
 
 
+def parameter_scatter_plots(model, params, dataset: Dataset, plot_dir,
+                            config: Optional[Dict] = None):
+    """Per-dataset predicted-vs-classical parameter scatter + violin plots
+    (reference Evaluator.plot_parameters, evaluation.py:389-408)."""
+    from pathlib import Path
+    from grappa_tpu.api import Grappa
+    from grappa_tpu.plotting import compare_parameters, plot_parameters
+
+    plot_dir = Path(plot_dir)
+    plot_dir.mkdir(parents=True, exist_ok=True)
+    ff = Grappa(model, params, config)
+    by_ds: Dict[str, Dict[str, list]] = defaultdict(
+        lambda: {'pred': [], 'ref': []})
+    for entry, ds_name in zip(dataset.entries, dataset.ds_names):
+        pred = ff.predict(entry.molecule, check_eq_values=False)
+        by_ds[ds_name]['pred'].append(pred)
+        by_ds[ds_name]['ref'].append(entry.classical_parameters)
+    written = []
+    for ds_name, d in by_ds.items():
+        f1 = plot_dir / f'{ds_name}_parameter_comparison.png'
+        compare_parameters(d['ref'], d['pred'], filename=str(f1),
+                           xlabel='classical (ref)', ylabel='prediction',
+                           title=ds_name)
+        f2 = plot_dir / f'{ds_name}_parameters.png'
+        plot_parameters(d['pred'], filename=str(f2), title=ds_name)
+        written += [str(f1), str(f2)]
+    return written
+
+
 def eval_model(model, params, dataset: Dataset, batch_size: int = None,
                conf_strategy='max', n_bootstrap: int = 1000,
                classical: bool = False,
-               forces_per_batch: float = 5e5) -> Dict:
-    """Evaluate a parameter model on a dataset; returns nested metrics.
-    batch_size defaults to an adaptive value from forces_per_batch."""
+               forces_per_batch: float = 5e5,
+               plot_dir=None, config: Optional[Dict] = None) -> Dict:
+    """Evaluate a parameter model on a dataset; returns nested metrics
+    (rmse/mae of energies, invariant rmse/mae + component rmse of forces,
+    reference stds, bootstrap CIs). batch_size defaults to an adaptive value
+    from forces_per_batch. plot_dir writes per-dataset parameter plots."""
     import jax
     from grappa_tpu.models import mm_energy
 
@@ -153,4 +208,7 @@ def eval_model(model, params, dataset: Dataset, batch_size: int = None,
     results = {'grappa_tpu': evaluator.pool(n_bootstrap)}
     if classical:
         results.update(classical_ff_metrics(dataset, n_bootstrap=n_bootstrap))
+    if plot_dir is not None:
+        results['plots'] = parameter_scatter_plots(model, params, dataset,
+                                                   plot_dir, config)
     return results

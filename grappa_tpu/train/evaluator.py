@@ -40,6 +40,45 @@ def _per_mol_sqerr(batch: GraphBatch, energy: jnp.ndarray,
     return e_se, n_conf, g_se, n_vec
 
 
+@jax.jit
+def _per_mol_full_stats(batch: GraphBatch, energy: jnp.ndarray,
+                        gradient: jnp.ndarray):
+    """Per-molecule accumulator contributions for the full Evaluator metric
+    set (reference evaluation.py:360-384): squared + absolute errors, the
+    invariant (per-3-vector) gradient errors, and reference-value moments
+    for std_energies/std_gradients."""
+    m = batch.num_mols
+    e_pred = mm_energy.centered(energy, batch.conf_mask)
+    e_ref = mm_energy.centered(batch.energy_ref, batch.conf_mask)
+    e_diff = (e_pred - e_ref) * batch.conf_mask
+    n_conf = batch.conf_mask.sum(axis=1)
+
+    conf_mask_per_node = batch.conf_mask[
+        jnp.minimum(batch.node_mol, m - 1)] * batch.node_mask[:, None]
+    g_diff_sq = (jnp.square(gradient - batch.gradient_ref)
+                 * conf_mask_per_node[..., None])
+    # per-(atom, conf) 3-vector norms for the invariant MAE
+    g_vec_norm = jnp.sqrt(g_diff_sq.sum(axis=2))
+
+    def seg(x):
+        return jax.ops.segment_sum(x, batch.node_mol,
+                                   num_segments=m + 1)[:m]
+
+    gref = batch.gradient_ref * conf_mask_per_node[..., None]
+    return {
+        'e_se': jnp.square(e_diff).sum(axis=1),
+        'e_ae': jnp.abs(e_diff).sum(axis=1),
+        'n_e': n_conf,
+        'g_se': seg(g_diff_sq.sum(axis=(1, 2))),
+        'g_ae_vec': seg(g_vec_norm.sum(axis=1)),
+        'n_vec': batch.atoms_per_mol() * n_conf,
+        'eref_sum': e_ref.sum(axis=1),
+        'eref_sq': jnp.square(e_ref * batch.conf_mask).sum(axis=1),
+        'gref_sum': seg(gref.sum(axis=(1, 2))),
+        'gref_sq': seg(jnp.square(gref).sum(axis=(1, 2))),
+    }
+
+
 class StreamingEvaluator:
     """Accumulates squared errors per dataset name across batches."""
 

@@ -68,12 +68,13 @@ def test_do_trainrun_end_to_end(tmp_path):
     params_out = ff.predict(random_molecule(seed=5), check_eq_values=False)
     assert np.isfinite(params_out.bond_k).all()
 
-    # eval CLI runs on the exported model
+    # eval CLI runs on the exported model, writes plots + results back
     from grappa_tpu.cli import main
     out_json = tmp_path / 'eval.json'
+    plot_dir = tmp_path / 'plots'
     rc = main(['eval', '-t', out['model_dict_path'], '-d', str(ds_dir),
                '--set', 'val', '--n-bootstrap', '50',
-               '-o', str(out_json)])
+               '-o', str(out_json), '--plots', str(plot_dir)])
     assert rc == 0
     results = json.loads(out_json.read_text())
     assert 'grappa_tpu' in results
@@ -81,6 +82,18 @@ def test_do_trainrun_end_to_end(tmp_path):
     assert 'rmse_energies' in entry and 'rmse_energies_ci' in entry
     lo, hi = entry['rmse_energies_ci']
     assert lo <= entry['rmse_energies'] <= hi
+    for key in ('mae_energies', 'mae_gradients', 'crmse_gradients',
+                'std_energies', 'std_gradients', 'mae_energies_ci'):
+        assert key in entry, key
+    # parameter scatter + violin plots written per dataset
+    assert (plot_dir / 'syn_parameter_comparison.png').exists()
+    assert (plot_dir / 'syn_parameters.png').exists()
+    # results stored back into the model file (reference grappa_eval)
+    from grappa_tpu.train.export import load_model_dict
+    stored = load_model_dict(out['model_dict_path'])
+    assert 'val' in stored['results']
+    assert (stored['results']['val']['grappa_tpu']['syn']['rmse_energies']
+            == entry['rmse_energies'])
 
 
 def test_bootstrap_evaluator_cis():
@@ -88,12 +101,23 @@ def test_bootstrap_evaluator_cis():
     rng = np.random.default_rng(0)
     for _ in range(40):
         n_e, n_g = 10.0, 100.0
-        ev.add_molecule('ds', float(rng.uniform(5, 15)), n_e,
-                        float(rng.uniform(50, 150)), n_g)
+        e_se = float(rng.uniform(5, 15))
+        g_se = float(rng.uniform(50, 150))
+        ev.add_molecule('ds', e_se=e_se, n_e=n_e,
+                        e_ae=float(np.sqrt(e_se * n_e)) * 0.8,
+                        g_se=g_se, n_vec=n_g,
+                        g_ae_vec=float(np.sqrt(g_se * n_g)) * 0.8,
+                        eref_sum=0.0, eref_sq=float(rng.uniform(5, 15)),
+                        gref_sum=0.0, gref_sq=float(rng.uniform(50, 150)))
     m = ev.pool(n_bootstrap=200)['ds']
     lo, hi = m['rmse_energies_ci']
     assert lo < m['rmse_energies'] < hi
     assert (hi - lo) < m['rmse_energies']  # reasonably tight for n=40
+    # full reference-Evaluator metric set incl. MAE and reference stds
+    for key in ('mae_energies', 'mae_gradients', 'std_energies',
+                'std_gradients', 'mae_energies_ci', 'mae_gradients_ci'):
+        assert key in m
+    assert m['mae_energies'] <= m['rmse_energies'] + 1e-9
 
 
 def test_classical_ff_metrics():
@@ -109,6 +133,18 @@ def test_classical_ff_metrics():
     # rmse_gradients is per 3-vector = sqrt(3) * component RMSE
     np.testing.assert_allclose(out['fake_ff']['syn']['crmse_gradients'], 0.5,
                                rtol=1e-5)
+    # constant +0.5 per component -> vector norm 0.5*sqrt(3) everywhere, so
+    # the invariant MAE and RMSE coincide (reference invariant metrics)
+    np.testing.assert_allclose(out['fake_ff']['syn']['mae_gradients'],
+                               0.5 * np.sqrt(3), rtol=1e-5)
+    np.testing.assert_allclose(out['fake_ff']['syn']['rmse_gradients'],
+                               0.5 * np.sqrt(3), rtol=1e-5)
+    np.testing.assert_allclose(out['fake_ff']['syn']['mae_energies'], 0.0,
+                               atol=1e-5)
+    # std_energies matches the brute-force std of per-mol-centered targets
+    ref = np.concatenate([md.energy_ref - md.energy_ref.mean() for md in mds])
+    np.testing.assert_allclose(out['fake_ff']['syn']['std_energies'],
+                               ref.std(), rtol=1e-5)
     # 'qm' is skipped by default, reference_ff present from synthetic data
     assert 'qm' not in out
 
