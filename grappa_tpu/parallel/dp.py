@@ -61,7 +61,8 @@ def make_dp_train_step(model, tx, mesh: Mesh) -> Callable:
       weights: LossWeights stacked likewise (per-device per-mol param vector)
       lr: scalar
       rngs: (n_dev,) stacked PRNG keys
-    Returns (params, opt_state, loss) with loss pmean-ed over devices.
+    Returns (params, opt_state, loss, aux) with loss/aux pmean-ed over
+    devices (same signature as the single-device train step).
     """
 
     def local_step(params, opt_state, batch, weights, lr, rng):
@@ -72,21 +73,22 @@ def make_dp_train_step(model, tx, mesh: Mesh) -> Callable:
         def loss_fn(p):
             pred = model.apply(p, batch, deterministic=False,
                                rngs={'dropout': rng})
-            loss, _ = molwise_loss(batch, pred, weights)
-            return loss
+            return molwise_loss(batch, pred, weights)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
         grads = jax.lax.pmean(grads, 'dp')      # ICI all-reduce by XLA
         loss = jax.lax.pmean(loss, 'dp')
+        aux = jax.lax.pmean(aux, 'dp')
         updates, new_opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss
+        return new_params, new_opt_state, loss, aux
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(), P('dp'), P('dp'), P(), P('dp')),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -215,27 +215,47 @@ class Trainer:
 
     def _train_epoch_dp(self):
         """One epoch of data-parallel steps: group mesh-size loader batches
-        (identical padded shapes via fixed_pad) into one shard_map step."""
+        (identical padded shapes via fixed_pad) into one shard_map step.
+
+        A trailing group smaller than the mesh is NOT dropped: it is padded
+        by cycling its batches, with the k real batches' loss weights scaled
+        by n_dev/k and the padding replicas' weights zeroed — the device
+        pmean then equals the mean gradient (and loss) over the real batches
+        only, i.e. the same update the group would get on one device."""
         from grappa_tpu.parallel.dp import shard_batches, stack_loss_weights
         losses = []
         group, names_group = [], []
-        for batch, ds_names in self._train_batches():
-            group.append(batch)
-            names_group.append(ds_names)
-            if len(group) < self._n_dev:
-                continue
+
+        def run_group(group, names_group):
+            n_real = len(group)
+            weights = [self._loss_weights(n, b.num_mols)
+                       for b, n in zip(group, names_group)]
+            if n_real < self._n_dev:
+                scale = jnp.float32(self._n_dev / n_real)
+                weights = [jax.tree.map(lambda x: x * scale, w)
+                           for w in weights]
+                for i in range(self._n_dev - n_real):
+                    group.append(group[i % n_real])
+                    weights.append(jax.tree.map(jnp.zeros_like,
+                                                weights[i % n_real]))
             stacked = shard_batches(group)
-            weights = stack_loss_weights([
-                self._loss_weights(n, b.num_mols)
-                for b, n in zip(group, names_group)])
             lr = jnp.float32(self._step_lr())
             self._rng, step_rng = jax.random.split(self._rng)
             rngs = jax.random.split(step_rng, self._n_dev)
-            self.params, self.opt_state, loss = self.dp_train_step(
-                self.params, self.opt_state, stacked, weights, lr, rngs)
+            self.params, self.opt_state, loss, _ = self.dp_train_step(
+                self.params, self.opt_state, stacked,
+                stack_loss_weights(weights), lr, rngs)
             losses.append(loss)
             self.global_step += 1
-            group, names_group = [], []
+
+        for batch, ds_names in self._train_batches():
+            group.append(batch)
+            names_group.append(ds_names)
+            if len(group) == self._n_dev:
+                run_group(group, names_group)
+                group, names_group = [], []
+        if group:
+            run_group(group, names_group)
         return losses
 
     def _train_batches(self):

@@ -72,8 +72,9 @@ def test_dp_train_step_matches_mean_of_grads(setup):
     lr = jnp.float32(1e-3)
 
     # NOTE: dropout=0 in the small config, so rngs don't affect outputs
-    new_params, _, dp_loss = dp_step(params, opt_state, stacked, weights,
-                                     lr, rngs)
+    new_params, _, dp_loss, dp_aux = dp_step(params, opt_state, stacked,
+                                             weights, lr, rngs)
+    assert 'energy_mse' in dp_aux      # aux metrics surface from the DP path
 
     # manual: average grads over the 8 batches on one device
     from grappa_tpu.train.loss import molwise_loss
@@ -97,6 +98,63 @@ def test_dp_train_step_matches_mean_of_grads(setup):
                     jax.tree.leaves(manual_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=5e-5)
+
+
+def test_dp_remainder_padding_equivalence(setup):
+    """Zero-weight padding + n/k weight rescale: a partial group produces
+    exactly the update the real batches would get alone (the trainer's
+    trailing-group strategy, trainer._train_epoch_dp)."""
+    import optax as _optax
+    model, params, batches, _ = setup
+    mesh = make_mesh(2)
+    tx = _optax.chain(_optax.clip_by_global_norm(1e9), _optax.scale(-1.0))
+    dp_step = make_dp_train_step(model, tx, mesh)
+    single_step = make_train_step(model, tx)
+    opt_state = tx.init(params)
+    lr = jnp.float32(1e-3)
+    rng = jax.random.key(7)
+
+    real = batches[0]
+    w_real = _weights(real.num_mols)
+    # padded group: [real x2 weights, zero-weight replica]
+    w_scaled = jax.tree.map(lambda x: x * 2.0, w_real)
+    w_zero = jax.tree.map(jnp.zeros_like, w_real)
+    stacked = shard_batches([real, real])
+    weights = stack_loss_weights([w_scaled, w_zero])
+    rngs = jax.random.split(rng, 2)
+    dp_params, _, dp_loss, _ = dp_step(params, opt_state, stacked, weights,
+                                       lr, rngs)
+
+    ref_params, _, ref_loss, _ = single_step(params, opt_state, real, w_real,
+                                             lr, rngs[0])
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(dp_params), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
+
+
+def test_dp_trainer_consumes_remainder():
+    """Epoch batch count not divisible by the mesh: the trailing group still
+    trains (step count = ceil(batches / n_dev)), loss finite."""
+    from grappa_tpu.data.dataset import Dataset
+    from grappa_tpu.data.loader import GraphLoader
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.train.trainer import Trainer
+
+    ds = Dataset.from_moldata(make_dataset(n_mols=20, n_confs=4, seed=9),
+                              'syn')
+    loader = GraphLoader(ds, batch_size=2, conf_strategy=4, shuffle=True,
+                         drop_last=True, seed=0)   # 10 batches, 8-dev mesh
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+    trainer = Trainer(model, params, loader, None,
+                      {'lr': 3e-4, 'start_qm_epochs': 0, 'warmup_steps': 2,
+                       'patience': 0},
+                      {'max_epochs': 1}, out_dir=None, mesh=make_mesh(N_DEV))
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+    assert trainer.global_step == 2     # 8 + remainder group of 2
 
 
 def test_dp_eval_matches_single_device(setup):
