@@ -215,13 +215,31 @@ def load_split(path: Union[str, Path]) -> Dict[str, List[str]]:
         return json.load(f)
 
 
-def k_fold_split_ids(mol_ids: Sequence[str], k: int, seed: int = 0
-                     ) -> List[Dict[str, List[str]]]:
-    """k folds: each fold is test once, val is the next fold, rest train."""
-    ids = list(dict.fromkeys(mol_ids))
+def k_fold_split_ids(mol_ids: Union[Sequence[str], Dict[str, Sequence[str]]],
+                     k: int, seed: int = 0) -> List[Dict[str, List[str]]]:
+    """k folds: each fold is test once, val is the next fold, rest train.
+
+    Pass a dict dsname->ids (like calc_split_ids) for per-subdataset
+    stratification; a mol_id occurring in several subdatasets is assigned to
+    exactly ONE fold (the reference's duplicate-consistent k-fold,
+    torch_utils.py:12-352), so overlapping subdatasets cannot leak a
+    molecule across the train/test boundary of any fold."""
     rng = np.random.default_rng(seed)
-    order = rng.permutation(len(ids))
-    folds = [[ids[i] for i in order[j::k]] for j in range(k)]
+    folds: List[List[str]] = [[] for _ in range(k)]
+    if isinstance(mol_ids, dict):
+        assigned: set = set()
+        for ds_name in sorted(mol_ids.keys()):
+            ids = [i for i in dict.fromkeys(mol_ids[ds_name])
+                   if i not in assigned]
+            assigned.update(ids)
+            order = rng.permutation(len(ids))
+            offset = int(rng.integers(k))
+            for j, idx in enumerate(order):
+                folds[(j + offset) % k].append(ids[idx])
+    else:
+        ids = list(dict.fromkeys(mol_ids))
+        order = rng.permutation(len(ids))
+        folds = [[ids[i] for i in order[j::k]] for j in range(k)]
     splits = []
     for j in range(k):
         test = folds[j]

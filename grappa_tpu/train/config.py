@@ -20,7 +20,7 @@ def default_config() -> Dict:
             "rna-diverse",
         ],
         "conf_strategy": 32,
-        "val_conf_strategy": 200,
+        "val_conf_strategy": 500,
         "train_batch_size": 32,
         "val_batch_size": 32,
         "test_batch_size": 1,

@@ -99,7 +99,7 @@ def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
         seed=cfg.get('seed', 0), drop_last=True)
     val_loader = GraphLoader(
         vl, batch_size=cfg.get('val_batch_size', 32),
-        conf_strategy=cfg.get('val_conf_strategy', 200), shuffle=False) \
+        conf_strategy=cfg.get('val_conf_strategy', 500), shuffle=False) \
         if len(vl) else None
     test_loader = GraphLoader(
         te, batch_size=cfg.get('test_batch_size', 1),
@@ -138,7 +138,7 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
                                    balance_factor=dcfg.get('balance_factor', 0.0),
                                    seed=dcfg.get('seed', 0), drop_last=True)
         val_loader = GraphLoader(vl, batch_size=dcfg.get('val_batch_size', 32),
-                                 conf_strategy=dcfg.get('val_conf_strategy', 200),
+                                 conf_strategy=dcfg.get('val_conf_strategy', 500),
                                  shuffle=False) if len(vl) else None
         test_loader = None
     else:

@@ -178,3 +178,40 @@ def test_assign_torsion_parameters():
     # unknown torsion -> error
     with pytest.raises(ValueError, match='no canonical'):
         assign_torsion_parameters(mol, [(0, 3, 4, 2)], [1.0], [0.0], [1])
+
+
+def test_k_fold_duplicate_consistency():
+    """Overlapping subdatasets: every duplicate mol_id lands in exactly one
+    fold, so no fold has it on both the train and test side (reference
+    k-fold semantics, torch_utils.py:12-352)."""
+    from grappa_tpu.data.dataset import k_fold_split_ids
+    ids_by_ds = {
+        'a': [f'mol{i}' for i in range(20)],
+        'b': [f'mol{i}' for i in range(10, 30)],     # 10 duplicates with a
+        'c': [f'mol{i}' for i in range(25, 40)],     # 5 duplicates with b
+    }
+    k = 5
+    splits = k_fold_split_ids(ids_by_ds, k=k, seed=3)
+    assert len(splits) == k
+    all_ids = {i for ids in ids_by_ds.values() for i in ids}
+    tests = [set(s['test']) for s in splits]
+    # each unique id is test exactly once across the k folds
+    for mid in all_ids:
+        assert sum(mid in t for t in tests) == 1, mid
+    for s in splits:
+        tr, vl, te = set(s['train']), set(s['val']), set(s['test'])
+        assert not (tr & te) and not (tr & vl) and not (vl & te)
+        assert tr | vl | te == all_ids
+    # stratification: the first-processed ds (no prior duplicate
+    # assignments) is dealt evenly; later datasets are as even as their
+    # already-assigned duplicates allow
+    counts_a = [len(set(ids_by_ds['a']) & t) for t in tests]
+    assert max(counts_a) - min(counts_a) <= 1, counts_a
+
+
+def test_k_fold_flat_sequence_still_works():
+    from grappa_tpu.data.dataset import k_fold_split_ids
+    splits = k_fold_split_ids([f'm{i}' for i in range(17)] * 2, k=4, seed=0)
+    assert len(splits) == 4
+    seen = [i for s in splits for i in s['test']]
+    assert sorted(seen) == sorted({f'm{i}' for i in range(17)})
