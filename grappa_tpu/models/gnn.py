@@ -146,6 +146,7 @@ class GrappaGNN(nn.Module):
     layer_norm: bool = True
     self_interaction: bool = True
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False   # layer-wise rematerialization: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], neighbors, neighbor_mask,
@@ -163,15 +164,21 @@ class GrappaGNN(nn.Module):
         h = nn.elu(h)
         h = nn.Dropout(self.initial_dropout)(h, deterministic=deterministic)
 
+        # static_argnums counts __call__ args with self at 0: deterministic
+        # must stay a python bool inside the remat-wrapped call
+        ConvBlock = (nn.remat(ResidualConvBlock, static_argnums=(4,))
+                     if self.remat else ResidualConvBlock)
+        AttBlock = (nn.remat(ResidualAttentionBlock, static_argnums=(4,))
+                    if self.remat else ResidualAttentionBlock)
         for i in range(self.n_conv):
-            h = ResidualConvBlock(
+            h = ConvBlock(
                 self.node_feats, dropout=self.conv_dropout,
                 layer_norm=self.layer_norm,
                 self_interaction=self.self_interaction,
                 name=f'conv_block_{i}')(h, neighbors, neighbor_mask,
                                         deterministic)
         for i in range(self.n_att):
-            h = ResidualAttentionBlock(
+            h = AttBlock(
                 self.node_feats, self.n_heads,
                 dropout=self.attention_dropout, layer_norm=self.layer_norm,
                 self_interaction=self.self_interaction, dtype=self.dtype,

@@ -74,6 +74,10 @@ def get_default_model_config() -> Dict:
         # TPU-specific: matmul compute dtype ('float32' | 'bfloat16');
         # parameters, layer norms, softmax and all physics stay float32
         "compute_dtype": "float32",
+        # TPU-specific: layer-wise rematerialization (jax.checkpoint) of the
+        # GNN and head transformer blocks — trades recompute FLOPs for HBM,
+        # enabling 40k+-atom systems in training on one chip
+        "remat": False,
     }
 
 
@@ -127,6 +131,7 @@ class GrappaModel(nn.Module):
             layer_norm=cfg['layer_norm'],
             self_interaction=cfg['self_interaction'],
             dtype=dtype,
+            remat=cfg.get('remat', False),
             name='gnn',
         )(batch.feats, batch.neighbors, batch.neighbor_mask, deterministic)
 
@@ -147,6 +152,7 @@ class GrappaModel(nn.Module):
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
+            remat=cfg.get('remat', False),
             name='bond_writer',
         )(h, batch.terms['n2'].idxs, deterministic)
 
@@ -167,6 +173,7 @@ class GrappaModel(nn.Module):
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
+            remat=cfg.get('remat', False),
             name='angle_writer',
         )(h, batch.terms['n3'].idxs, deterministic)
 
@@ -197,6 +204,7 @@ class GrappaModel(nn.Module):
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
+            remat=cfg.get('remat', False),
             name='proper_writer',
         )(h, batch.terms['n4'].idxs, deterministic)
 
@@ -218,6 +226,7 @@ class GrappaModel(nn.Module):
             layer_norm=cfg['layer_norm'],
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
+            remat=cfg.get('remat', False),
             name='improper_writer',
         )(h, batch.terms['n4_improper'].idxs, deterministic)
 

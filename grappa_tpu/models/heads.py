@@ -99,6 +99,7 @@ class TupleHead(nn.Module):
     dropout: float = 0.0
     layer_norm: bool = True
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
@@ -112,11 +113,13 @@ class TupleHead(nn.Module):
             pos = jnp.broadcast_to(pos[None], (x.shape[0], *pos.shape))
             x = jnp.concatenate([x, pos], axis=-1)
 
+        Block = (nn.remat(TransformerBlock, static_argnums=(2,))
+                 if self.remat else TransformerBlock)
         for i in range(self.transformer_layers):
-            x = TransformerBlock(
+            x = Block(
                 self.n_heads, self.hidden_feats, layer_norm=self.layer_norm,
                 dropout=self.dropout, dtype=self.dtype, name=f'transformer_{i}',
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
 
         return Symmetriser(
             permutations=self.permutations,
@@ -148,6 +151,7 @@ class HarmonicParameterHead(nn.Module):
     layer_norm: bool = True
     dtype: Optional[jnp.dtype] = None
     learnable_statistics: bool = False
+    remat: bool = False
 
     def _stat(self, name: str, value):
         """Scaler statistic: a trainable parameter when learnable_statistics
@@ -171,7 +175,7 @@ class HarmonicParameterHead(nn.Module):
             permutations=PERMUTATIONS[self.term],
             positional_encoding=pos_enc,
             dropout=self.dropout, layer_norm=self.layer_norm,
-            dtype=self.dtype, name='head',
+            dtype=self.dtype, remat=self.remat, name='head',
         )(h, idxs, deterministic=deterministic)
         coeffs = coeffs.astype(jnp.float32)
 
@@ -209,6 +213,7 @@ class TorsionParameterHead(nn.Module):
     layer_norm: bool = True
     dtype: Optional[jnp.dtype] = None
     learnable_statistics: bool = False
+    remat: bool = False
 
     def _stat(self, name: str, value):
         if self.learnable_statistics:
@@ -235,7 +240,7 @@ class TorsionParameterHead(nn.Module):
             out_feats=n_out, permutations=perms,
             positional_encoding=pos_enc,
             dropout=self.dropout, layer_norm=self.layer_norm,
-            dtype=self.dtype, name='head',
+            dtype=self.dtype, remat=self.remat, name='head',
         )(h, idxs, deterministic=deterministic)
         coeffs = coeffs.astype(jnp.float32)
 

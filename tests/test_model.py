@@ -202,3 +202,34 @@ def test_node_relabeling_equivariance():
         k2, eq2 = lookup2[key]
         np.testing.assert_allclose(p1.bond_k[i], k2, rtol=2e-4)
         np.testing.assert_allclose(p1.bond_eq[i], eq2, rtol=2e-4)
+
+
+def test_remat_identical_outputs_and_grads():
+    """model_config.remat (layer-wise jax.checkpoint) must not change the
+    parameter tree, predictions, or gradients — only memory/compute."""
+    import jax.numpy as jnp
+    from grappa_tpu.data.synthetic import make_moldata
+    from grappa_tpu.train.loss import LossWeights, molwise_loss
+
+    batch = collate([MolGraph.from_moldata(make_moldata(seed=1, n_confs=2))])
+    cfg = get_small_model_config()
+    m1 = make_model(cfg)
+    p1 = m1.init(jax.random.key(0), batch)
+    cfg2 = dict(cfg)
+    cfg2['remat'] = True
+    m2 = make_model(cfg2)
+    p2 = m2.init(jax.random.key(0), batch)
+    assert (jax.tree_util.tree_structure(p1)
+            == jax.tree_util.tree_structure(p2))
+    o1, o2 = m1.apply(p1, batch), m2.apply(p1, batch)
+    for k in o1:
+        np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o2[k]),
+                                   rtol=1e-6, atol=1e-7)
+    w = LossWeights(jnp.float32(1.0), jnp.float32(0.8),
+                    jnp.full(batch.num_mols, 1e-3, jnp.float32),
+                    jnp.float32(1e-3), jnp.float32(1e-3))
+    g1 = jax.grad(lambda p: molwise_loss(batch, m1.apply(p, batch), w)[0])(p1)
+    g2 = jax.grad(lambda p: molwise_loss(batch, m2.apply(p, batch), w)[0])(p1)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
