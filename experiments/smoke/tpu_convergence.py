@@ -22,6 +22,10 @@ def main():
     ap.add_argument('--epochs', type=int, default=60)
     ap.add_argument('--n-mols', type=int, default=96)
     ap.add_argument('--out', default='runs')
+    ap.add_argument('--compute-dtype', default='float32',
+                    choices=['float32', 'bfloat16'],
+                    help='matmul compute dtype (bf16 accuracy validation)')
+    ap.add_argument('--name', default=None)
     args = ap.parse_args()
 
     ds = Dataset.from_moldata(
@@ -32,7 +36,7 @@ def main():
     # full architecture, but light dropout: this is a fitting-capacity check
     model_cfg.update({
         'gnn_dropout_attention': 0.0, 'gnn_dropout_final': 0.0,
-        'parameter_dropout': 0.0,
+        'parameter_dropout': 0.0, 'compute_dtype': args.compute_dtype,
     })
     config = default_config()
     overwrite_config({
@@ -49,8 +53,10 @@ def main():
                            'name': 'tpu-convergence'},
         'test_model': True,
     }, config)
+    run_name = args.name or ('tpu-convergence' if args.compute_dtype ==
+                             'float32' else 'tpu-convergence-bf16')
     out = do_trainrun(config, project_dir=args.out,
-                      run_name='tpu-convergence', dataset_override=ds,
+                      run_name=run_name, dataset_override=ds,
                       cache_batches=True)
     history = out['results']['history']
     series = [{'epoch': h['epoch'],
