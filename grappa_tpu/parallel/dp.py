@@ -52,7 +52,7 @@ def _squeeze0(tree):
     return jax.tree.map(lambda x: x.squeeze(0), tree)
 
 
-def make_dp_train_step(model, tx, mesh: Mesh) -> Callable:
+def make_dp_train_step(model, tx, mesh: Mesh, donate: bool = True) -> Callable:
     """One data-parallel training step.
 
     Args (per call):
@@ -91,7 +91,9 @@ def make_dp_train_step(model, tx, mesh: Mesh) -> Callable:
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # donate the replicated params/opt_state: callers rebind the returned
+    # trees, and in-place optimizer updates halve the HBM high-water mark
+    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
 
 def make_dp_eval_step(model, mesh: Mesh) -> Callable:

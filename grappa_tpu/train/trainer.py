@@ -48,11 +48,19 @@ def make_optimizer(grad_clip: float = 10.0, weight_decay: float = 0.0):
     return optax.chain(*steps)
 
 
-def make_train_step(model, tx) -> Callable:
+def make_train_step(model, tx, donate: bool = True) -> Callable:
     """Returns jitted (params, opt_state, batch, weights, lr, rng) ->
-    (params, opt_state, loss, aux)."""
+    (params, opt_state, loss, aux).
 
-    @jax.jit
+    donate: donate the params/opt_state buffers to the step (callers rebind
+    the returned trees, so the old copies are dead — donation lets XLA update
+    the ~3x-model-size optimizer state in place instead of allocating a
+    second copy in HBM). Pass False if the same params/opt_state objects are
+    reused across calls (some tests do)."""
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, batch: GraphBatch, weights: LossWeights,
              lr, rng):
         def loss_fn(p):

@@ -41,16 +41,21 @@ class Unit:
     dims: Tuple[int, int, int, int, int, int, int] = _ZERO
     name: str = ""
 
+    # make `np.ndarray * unit` defer to Unit.__rmul__ (one Quantity holding
+    # the array) instead of numpy broadcasting into an object array
+    __array_ufunc__ = None
+
     def __mul__(self, other: "Unit") -> "Unit":
         if isinstance(other, Unit):
             return Unit(self.scale * other.scale, _dim_add(self.dims, other.dims),
                         f"{self.name}*{other.name}" if self.name and other.name else "")
-        if isinstance(other, (int, float)):
+        if isinstance(other, (int, float, np.number)):
             return Quantity(other, self)
         return NotImplemented
 
     def __rmul__(self, other):
-        if isinstance(other, (int, float, np.ndarray)):
+        # np.number covers numpy scalars (np.float32(…) * unit)
+        if isinstance(other, (int, float, np.number, np.ndarray)):
             return Quantity(other, self)
         return NotImplemented
 
@@ -79,6 +84,8 @@ class Unit:
 
 class Quantity:
     """A value with a unit; value may be a scalar or numpy array."""
+
+    __array_ufunc__ = None   # numpy defers to our reflected operators
 
     def __init__(self, value: Union[float, np.ndarray], unit: Unit):
         self.value = value

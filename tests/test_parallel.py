@@ -65,7 +65,8 @@ def test_dp_train_step_matches_mean_of_grads(setup):
     mesh = make_mesh(N_DEV)
     tx = _optax.chain(_optax.clip_by_global_norm(1e9), _optax.scale(-1.0))
 
-    dp_step = make_dp_train_step(model, tx, mesh)
+    # donate=False: this test reuses `params` after the step (manual grads)
+    dp_step = make_dp_train_step(model, tx, mesh, donate=False)
     opt_state = tx.init(params)
     weights = stack_loss_weights([_weights(b.num_mols) for b in batches])
     rngs = jax.random.split(jax.random.key(42), N_DEV)
@@ -108,8 +109,9 @@ def test_dp_remainder_padding_equivalence(setup):
     model, params, batches, _ = setup
     mesh = make_mesh(2)
     tx = _optax.chain(_optax.clip_by_global_norm(1e9), _optax.scale(-1.0))
-    dp_step = make_dp_train_step(model, tx, mesh)
-    single_step = make_train_step(model, tx)
+    # donate=False: params/opt_state feed both the DP and the single step
+    dp_step = make_dp_train_step(model, tx, mesh, donate=False)
+    single_step = make_train_step(model, tx, donate=False)
     opt_state = tx.init(params)
     lr = jnp.float32(1e-3)
     rng = jax.random.key(7)
