@@ -322,6 +322,36 @@ def test_parametrize_system_end_to_end(mol_system):
         np.testing.assert_allclose(got[key][1], pred.bond_k[j], rtol=1e-5)
 
 
+def test_openmm_identity_oracle(mol_system):
+    """The reference's key correctness oracle (reference: tests/
+    openmm_wrapper_identity.py:1-100): an identity 'model' that predicts the
+    system's own classical parameters, pushed through the full
+    molecule_from_openmm -> predict -> write_to_system chain, must leave the
+    system's energies and gradients unchanged (to 1e-3) — validating the
+    whole wrapper pipeline with no ML in the loop."""
+    import copy
+    from grappa_tpu.wrappers.openmm_wrapper import (
+        OpenmmGrappa, _classical_parameters_from_openmm, get_energies)
+
+    mol, _, orig_system, top = mol_system
+    xyz = embed_conformers(mol, n_confs=3, seed=21)
+    ref_energy, ref_gradient = get_energies(orig_system, xyz)
+
+    class IdentityGrappa(OpenmmGrappa):
+        def __init__(self):   # no model needed
+            self.config = {}
+
+        def predict(self, molecule, check_eq_values=True):
+            return _classical_parameters_from_openmm(orig_system, molecule)
+
+    system = copy.deepcopy(orig_system)
+    IdentityGrappa().parametrize_system(system, top)
+
+    energy, gradient = get_energies(system, xyz)
+    np.testing.assert_allclose(energy, ref_energy, atol=1e-3)
+    np.testing.assert_allclose(gradient, ref_gradient, atol=1e-3)
+
+
 def test_hyp_dop_bond_repair():
     from openmm.app import Element, Topology
     from grappa_tpu.wrappers.hyp_dop import (
