@@ -112,3 +112,38 @@ def test_grappa_api_predict(trained_like, tmp_path):
                    atomic_numbers=[1, 6, 1, 6], partial_charges=[0.0] * 4)
     with pytest.raises(ValueError, match='disconnected'):
         ff.predict(bad)
+
+
+def test_zoo_tag_resolution_from_cache(trained_like, tmp_path, monkeypatch):
+    """Model-zoo machinery end to end without network: a model_dict dropped
+    into the cache under the release filename resolves by TAG and loads
+    (the documented offline path of grappa_tpu/zoo.py), and the exported
+    predictions survive the cache round trip."""
+    from grappa_tpu import zoo
+
+    model, params, cfg, batch = trained_like
+    monkeypatch.setenv('GRAPPA_TPU_CACHE', str(tmp_path))
+
+    md = build_model_dict(params, {'model_config': cfg}, model=model)
+    target = tmp_path / 'models' / 'grappa-1.2.pth'
+    target.parent.mkdir(parents=True)
+    save_model_dict(md, target)
+
+    assert zoo.model_path_from_tag('grappa-1.2') == target
+    ff = Grappa.from_tag('grappa-1.2')
+    out = ff.predict(random_molecule(seed=11), check_eq_values=False)
+    ref = Grappa.from_model_dict(md).predict(random_molecule(seed=11),
+                                             check_eq_values=False)
+    np.testing.assert_allclose(out.bond_k, ref.bond_k, rtol=1e-6)
+    np.testing.assert_allclose(out.proper_ks, ref.proper_ks, atol=1e-7)
+
+    # unknown tags fail loudly with the tag list
+    with pytest.raises(KeyError, match='unknown model tag'):
+        zoo.model_path_from_tag('no-such-model')
+
+    # dataset tags resolve to cached directories (offline contract)
+    ds_dir = tmp_path / 'datasets' / 'spice-dipeptide'
+    ds_dir.mkdir(parents=True)
+    assert zoo.dataset_path_from_tag('spice-dipeptide') == ds_dir
+    with pytest.raises(FileNotFoundError, match='no\\s+network egress'):
+        zoo.dataset_path_from_tag('rna-diverse')
