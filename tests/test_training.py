@@ -156,6 +156,56 @@ def test_evaluator_metrics():
     assert m2['dsA']['rmse_energies'] < 1e-2  # constant shift is centered out
 
 
+def test_evaluator_batch_size_invariance():
+    """The reference's batching-correctness oracle (reference tests/
+    unbatch.py:10-28): pooled metrics from one big batch equal those from
+    per-molecule batches, with an IMPERFECT model (nonzero residuals), so
+    conf-mask handling and segment pooling are exercised for real."""
+    mds = [make_moldata(seed=s, n_confs=3 + (s % 3)) for s in range(6)]
+
+    def perturbed(batch, seed):
+        p = ref_params(batch)
+        key = jax.random.key(seed)
+        out = {}
+        for i, (k, v) in enumerate(sorted(p.items())):
+            noise = jax.random.normal(jax.random.fold_in(key, i), v.shape)
+            out[k] = v * (1.0 + 0.05 * noise) + 0.01 * noise
+        return out
+
+    # one batch of six (padded to common conf count)
+    big = collate([MolGraph.from_moldata(md) for md in mds], n_confs=5)
+    energy, gradient = mm_energy.energy_and_gradient(big, perturbed(big, 7))
+    ev_big = StreamingEvaluator()
+    ev_big.step(big, energy, gradient, ['ds'] * 6)
+    m_big = ev_big.pool()
+
+    # six batches of one, different padding, same parameter perturbation
+    # (fold_in per-tensor is shape-dependent, so perturb the big batch once
+    # and slice per-molecule predictions out of it)
+    pred_big = perturbed(big, 7)
+    ev_one = StreamingEvaluator()
+    for i, md in enumerate(mds):
+        single = collate([MolGraph.from_moldata(md)], n_confs=5)
+        pred = {}
+        for term in ('n2', 'n3', 'n4', 'n4_improper'):
+            sel = np.asarray(big.terms[term].mol) == i
+            for key in ([f'{term}_k', f'{term}_eq'] if term in ('n2', 'n3')
+                        else [f'{term}_k']):
+                vals = np.asarray(pred_big[key])[sel]
+                n = int(np.asarray(single.terms[term].mask).sum())
+                padded = np.zeros((single.terms[term].idxs.shape[0],)
+                                  + vals.shape[1:], vals.dtype)
+                padded[:n] = vals[:n]
+                pred[key] = jnp.asarray(padded)
+        e1, g1 = mm_energy.energy_and_gradient(single, pred)
+        ev_one.step(single, e1, g1, ['ds'])
+    m_one = ev_one.pool()
+
+    for key in ('rmse_energies', 'rmse_gradients', 'crmse_gradients'):
+        np.testing.assert_allclose(m_one['ds'][key], m_big['ds'][key],
+                                   rtol=1e-4, err_msg=key)
+
+
 @pytest.mark.slow
 def test_training_smoke(tmp_path):
     """End-to-end smoke training: loss decreases on learnable targets
