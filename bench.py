@@ -124,7 +124,7 @@ def measure_jax(batch, n_steps=100, n_warmup=10):
         param=jnp.full(batch.num_mols, 1e-3, jnp.float32),
         proper_reg=jnp.float32(1e-3), improper_reg=jnp.float32(1e-3))
     lr = jnp.float32(1e-4)
-    rng = jax.random.key(1)
+    rng = jax.random.key(1, impl='rbg')   # the Trainer's default PRNG
 
     flops = _compiled_flops(step, (params, opt_state, batch, weights, lr, rng))
 

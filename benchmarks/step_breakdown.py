@@ -73,7 +73,7 @@ def main():
         energy=jnp.float32(1.0), gradient=jnp.float32(0.8),
         param=jnp.full(batch.num_mols, 1e-3, jnp.float32),
         proper_reg=jnp.float32(1e-3), improper_reg=jnp.float32(1e-3))
-    rng = jax.random.key(1)
+    rng = jax.random.key(1, impl='rbg')   # the Trainer's default PRNG
 
     results = {}
 
