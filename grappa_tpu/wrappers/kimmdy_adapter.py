@@ -59,8 +59,7 @@ def make_kimmdy_parameterizer(grappa_instance: Grappa,
     """Returns a kimmdy Parameterizer subclass instance bound to the model."""
     _require_kimmdy()
     from kimmdy.plugins import Parameterizer
-    from grappa_tpu.wrappers.gromacs_wrapper import (
-        fov_neighborhood, gromacs_parameter_rows)
+    from grappa_tpu.wrappers.gromacs_wrapper import fov_neighborhood
 
     class GrappaTpuParameterizer(Parameterizer):
         def __init__(self, *args, **kwargs):
