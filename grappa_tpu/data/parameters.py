@@ -132,7 +132,10 @@ class Parameters:
         npi = n_periodicity_improper or constants.N_PERIODICITY_IMPROPER
 
         def fit(x, cols):
-            x = np.asarray(x, dtype=np.float32).reshape(len(x), -1)
+            x = np.asarray(x, dtype=np.float32)
+            if x.size == 0:       # no tuples: reshape(0, -1) is ambiguous
+                return np.zeros((len(x), cols), np.float32)
+            x = x.reshape(len(x), -1)
             if x.shape[1] < cols:
                 pad = np.zeros((x.shape[0], cols - x.shape[1]), x.dtype)
                 if np.isnan(x).all():

@@ -180,6 +180,33 @@ def test_assign_torsion_parameters():
         assign_torsion_parameters(mol, [(0, 3, 4, 2)], [1.0], [0.0], [1])
 
 
+def test_zero_proper_molecule_roundtrip():
+    """A star-shaped molecule with NO proper torsions (synthetic seed 7514:
+    6 atoms, 0 propers, 0 impropers) must flow through classical-parameter
+    targets, batching and the energy path — signed_k_dict used to crash on
+    reshape of the empty proper array (found by the 1000-molecule run)."""
+    import jax
+    from grappa_tpu.data.graph_batch import MolGraph, collate
+    from grappa_tpu.data.synthetic import make_moldata
+    from grappa_tpu.models import mm_energy
+    from grappa_tpu.models.grappa_model import (
+        get_small_model_config, make_model)
+
+    md = make_moldata(seed=7514, n_confs=3, learnable=True, conf_noise=0.08)
+    assert len(md.molecule.propers) == 0       # the regression precondition
+
+    d = md.classical_parameters.signed_k_dict()
+    assert d['n4_k'].shape[0] == 0 and d['n4_improper_k'].shape[0] == 0
+
+    batch = collate([MolGraph.from_moldata(md)], n_confs=3)
+    model = make_model(get_small_model_config())
+    params = model.init(jax.random.key(0), batch)
+    energy, gradient = mm_energy.energy_and_gradient(
+        batch, model.apply(params, batch))
+    assert np.isfinite(np.asarray(energy)).all()
+    assert np.isfinite(np.asarray(gradient)).all()
+
+
 def test_k_fold_duplicate_consistency():
     """Overlapping subdatasets: every duplicate mol_id lands in exactly one
     fold, so no fold has it on both the train and test side (reference
