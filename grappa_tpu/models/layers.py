@@ -97,11 +97,20 @@ class SelfAttention(nn.Module):
             return t.reshape(*t.shape[:-1], self.num_heads, dh)
 
         q, k, v = heads(q), heads(k), heads(v)            # (..., S, H, dh)
-        logits = jnp.einsum('...shd,...thd->...hst', q, k,
+        # Scores are laid out (H, S, S, A) with the huge batch/tuple axis A
+        # minor: S is 2-4 in the parameter heads, and (A, H, S, S) scores
+        # tile-pad up to 32x on TPU ((8,128) tiles vs 4x4 minors), which
+        # made the attention backward ~1.9x slower and OOMed large batches
+        # (PERF.md step breakdown; benchmarks/attention_probe.py).
+        lead = q.shape[:-3]
+        q = q.reshape(-1, *q.shape[-3:])                  # (A, S, H, dh)
+        k = k.reshape(-1, *k.shape[-3:])
+        v = v.reshape(-1, *v.shape[-3:])
+        logits = jnp.einsum('ashd,athd->hsta', q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(dh)
-        weights = nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum('...hst,...thd->...shd', weights, v)
-        out = out.reshape(*out.shape[:-2], f)
+        weights = nn.softmax(logits, axis=2).astype(v.dtype)
+        out = jnp.einsum('hsta,athd->ashd', weights, v)   # (A, S, H, dh)
+        out = out.reshape(*lead, out.shape[1], f)
         out_init = (nn.initializers.zeros if self.zero_init_out
                     else nn.initializers.lecun_normal())
         out = nn.Dense(f, dtype=self.dtype, kernel_init=out_init,
