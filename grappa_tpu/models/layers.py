@@ -97,20 +97,28 @@ class SelfAttention(nn.Module):
             return t.reshape(*t.shape[:-1], self.num_heads, dh)
 
         q, k, v = heads(q), heads(k), heads(v)            # (..., S, H, dh)
-        # Scores are laid out (H, S, S, A) with the huge batch/tuple axis A
-        # minor: S is 2-4 in the parameter heads, and (A, H, S, S) scores
-        # tile-pad up to 32x on TPU ((8,128) tiles vs 4x4 minors), which
-        # made the attention backward ~1.9x slower and OOMed large batches
-        # (PERF.md step breakdown; benchmarks/attention_probe.py).
+        # For S >= 4 the scores are laid out (H, S, S, A) with the huge
+        # batch/tuple axis A minor: (A, H, 4, 4) scores tile-pad 32x on TPU
+        # ((8,128) tiles vs 4x4 minors), which makes the attention backward
+        # up to ~1.9x slower at large A (PERF.md step breakdown;
+        # benchmarks/attention_probe.py).
         lead = q.shape[:-3]
+        s = q.shape[-3]
         q = q.reshape(-1, *q.shape[-3:])                  # (A, S, H, dh)
         k = k.reshape(-1, *k.shape[-3:])
         v = v.reshape(-1, *v.shape[-3:])
-        logits = jnp.einsum('ashd,athd->hsta', q, k,
-                            preferred_element_type=jnp.float32) / np.sqrt(dh)
-        weights = nn.softmax(logits, axis=2).astype(v.dtype)
-        out = jnp.einsum('hsta,athd->ashd', weights, v)   # (A, S, H, dh)
-        out = out.reshape(*lead, out.shape[1], f)
+        if s >= 4:
+            logits = jnp.einsum('ashd,athd->hsta', q, k,
+                                preferred_element_type=jnp.float32) / np.sqrt(dh)
+            weights = nn.softmax(logits, axis=2).astype(v.dtype)
+            out = jnp.einsum('hsta,athd->ashd', weights, v)
+        else:
+            # S in {2,3}: the transposes cost more than the padding saves
+            logits = jnp.einsum('ashd,athd->ahst', q, k,
+                                preferred_element_type=jnp.float32) / np.sqrt(dh)
+            weights = nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum('ahst,athd->ashd', weights, v)
+        out = out.reshape(*lead, s, f)
         out_init = (nn.initializers.zeros if self.zero_init_out
                     else nn.initializers.lecun_normal())
         out = nn.Dense(f, dtype=self.dtype, kernel_init=out_init,
