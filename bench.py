@@ -106,7 +106,7 @@ def _compiled_flops(step, args) -> float:
         return 0.0
 
 
-def measure_jax(batch, n_steps=100, n_warmup=10):
+def measure_jax(batch, n_steps=100, n_warmup=10, compute_dtype='float32'):
     """Returns (seconds/step, flops/step) for the full training step."""
     import jax
     import jax.numpy as jnp
@@ -114,7 +114,9 @@ def measure_jax(batch, n_steps=100, n_warmup=10):
     from grappa_tpu.train.loss import LossWeights
     from grappa_tpu.train.trainer import make_optimizer, make_train_step
 
-    model = make_model(get_default_model_config())
+    cfg = get_default_model_config()
+    cfg['compute_dtype'] = compute_dtype
+    model = make_model(cfg)
     params = jax.jit(model.init)(jax.random.key(0), batch)
     tx = make_optimizer()
     opt_state = tx.init(params)
@@ -176,6 +178,12 @@ def main():
     small = _perf(jax_sec, flops)
     small['mol_confs_per_sec'] = round(N_MOLS * N_CONFS / jax_sec, 1)
 
+    # the same step with bf16 matmul compute (validated for training
+    # accuracy, PERF.md): the throughput option
+    bf16_sec, bf16_flops = measure_jax(batch, n_steps=50, n_warmup=5,
+                                       compute_dtype='bfloat16')
+    bf16 = _perf(bf16_sec, bf16_flops)
+
     protein_batch = build_protein_batch()
     prot_sec, prot_flops = measure_jax(protein_batch, n_steps=30, n_warmup=5)
     protein = _perf(prot_sec, prot_flops)
@@ -200,6 +208,7 @@ def main():
         'mfu': small['mfu'],
         'mfu_peak': 'v5e dense bf16 394 TFLOP/s (step runs f32)',
         'mol_confs_per_sec': small['mol_confs_per_sec'],
+        'bf16': bf16,
         'protein_scale': protein,
     }))
 
