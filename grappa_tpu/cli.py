@@ -161,12 +161,18 @@ def cmd_gmx(argv):
                    help='inline molecule .itp includes before parametrizing')
     p.add_argument('-p', '--plot', default=None,
                    help='write a violin plot of the predicted parameters')
+    p.add_argument('--focus', type=int, nargs='+', default=None,
+                   metavar='NR',
+                   help='partial reparametrization: only rewrite tuples '
+                        'within the model field of view of these atom nrs '
+                        '(the kimmdy radical workflow, file-based)')
     args = p.parse_args(argv)
     from grappa_tpu.wrappers.gromacs_wrapper import (
         GromacsGrappa, molecule_from_moleculetype)
     ff = GromacsGrappa.from_tag(args.tag)
     top = ff.parametrize(args.topology, args.output,
                          charge_model=args.charge_model,
+                         focus_nrs=set(args.focus) if args.focus else None,
                          resolve_includes=args.resolve_includes)
     if args.plot:
         from grappa_tpu.plotting import plot_parameters

@@ -261,13 +261,37 @@ class OpenmmGrappa(Grappa):
                            charge_model: str = 'amber99',
                            exclude_residues: Optional[Set[str]] = None,
                            partial_charges=None,
-                           check_eq_values: bool = True):
+                           check_eq_values: bool = True,
+                           plot_dir: Optional[str] = None):
+        """plot_dir: write grappa_parameters.png / reference_parameters.png
+        / parameter_comparison.png there (reference semantics:
+        openmm_wrapper.py:62-72 — the classical parameters already in the
+        system are the comparison baseline)."""
         _require_openmm()
         sub = get_subtopology(topology, exclude_residues)
         molecule = molecule_from_openmm(system, sub,
                                         partial_charges=partial_charges,
                                         charge_model=charge_model)
         params = self.predict(molecule, check_eq_values=check_eq_values)
+        if plot_dir is not None:
+            from pathlib import Path
+            from grappa_tpu.plotting import (compare_parameters,
+                                             plot_parameters)
+            out = Path(plot_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            plot_parameters(params, str(out / 'grappa_parameters.png'),
+                            title='Grappa')
+            try:
+                reference = _classical_parameters_from_openmm(system,
+                                                              molecule)
+                plot_parameters(reference,
+                                str(out / 'reference_parameters.png'),
+                                title='Reference')
+                compare_parameters(params, reference,
+                                   str(out / 'parameter_comparison.png'),
+                                   xlabel='Grappa', ylabel='Reference')
+            except Exception:
+                pass  # systems without classical bonded forces: skip
         return write_to_system(system, params)
 
 

@@ -282,3 +282,25 @@ def test_include_resolution(gmx_model, tmp_path):
                                         focus_nrs=None, check_eq_values=False)
     rows = top2.molecule_types()[0].section('bonds').data_rows()
     assert len(rows) == 3 and all(r[2] == '1' for r in rows)
+
+
+def test_cli_focus_flag(gmx_model, tmp_path):
+    """`grappa_gmx --focus`: file-based partial reparametrization through
+    the CLI (the kimmdy radical workflow without kimmdy)."""
+    from grappa_tpu.cli import main
+    from grappa_tpu.train.export import build_model_dict, save_model_dict
+
+    model_path = tmp_path / 'model.npz'
+    save_model_dict(build_model_dict(gmx_model.params, gmx_model.config,
+                                     model=gmx_model.model), model_path)
+    top_path = tmp_path / 'but.top'
+    top_path.write_text(TOP_TEXT)
+    out_path = tmp_path / 'cli_partial.top'
+
+    rc = main(['gmx', '-f', str(top_path), '-o', str(out_path),
+               '-t', str(model_path), '--focus', '1'])
+    assert rc == 0
+    out = GromacsTopology.parse(out_path)
+    bonds = out.molecule_types()[0].section('bonds').data_rows()
+    assert len(bonds) == 13
+    assert not any(r[4] == '224262.4' for r in bonds)   # rewritten

@@ -301,8 +301,15 @@ def test_parametrize_system_end_to_end(mol_system):
     params = model.init(jax.random.key(0), batch)
 
     ff = OpenmmGrappa(model, params)
-    out = ff.parametrize_system(system, top, check_eq_values=False)
+    import tempfile
+    plot_dir = tempfile.mkdtemp(prefix='grappa_plots_')
+    out = ff.parametrize_system(system, top, check_eq_values=False,
+                                plot_dir=plot_dir)
     assert out is system
+    from pathlib import Path
+    for name in ('grappa_parameters.png', 'reference_parameters.png',
+                 'parameter_comparison.png'):
+        assert (Path(plot_dir) / name).exists(), name
     assert 'grappa_torsions' in [f.getName() for f in system.getForces()]
 
     # bond entries now carry the model's predictions
