@@ -209,3 +209,44 @@ def test_report_tables(tmp_path):
     write_report(results, str(tmp_path / 'table'))
     assert (tmp_path / 'table.md').exists()
     assert (tmp_path / 'table.tex').exists()
+
+
+def test_safe_trainrun_crash_recovery(tmp_path, monkeypatch):
+    """Fault injection (SURVEY section 5.3): a training crash after
+    checkpoints exist triggers safe_trainrun's automatic resume from
+    last.ckpt, and the resumed run continues from the saved epoch with the
+    stored config (datasets re-resolved by tag)."""
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.train.run import safe_trainrun
+    from grappa_tpu.train import trainer as trainer_mod
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=8, n_confs=4, seed=4),
+                         'syn-ft').save(ds_dir)
+    config = _small_config(ds_dir, max_epochs=4)
+    config['trainer_config']['checkpoint_every'] = 1
+    config['trainer_config']['name'] = 'faulty'
+
+    real_fit = trainer_mod.Trainer.fit
+    calls = {'n': 0}
+
+    def crashing_fit(self, max_epochs=None):
+        calls['n'] += 1
+        if calls['n'] == 1:      # first attempt: die mid-run w/ checkpoints
+            for _ in range(2):
+                self.train_epoch()
+                self.epoch += 1
+                self.save_checkpoint(self.out_dir / 'last.ckpt')
+            raise RuntimeError('injected crash')
+        return real_fit(self, max_epochs)
+
+    monkeypatch.setattr(trainer_mod.Trainer, 'fit', crashing_fit)
+
+    out = safe_trainrun(config, project_dir=str(tmp_path / 'runs'),
+                        run_name='faulty')
+    assert calls['n'] == 2                    # crashed once, resumed once
+    trainer = out['trainer']
+    assert trainer.epoch >= 2                 # continued past the crash
+    assert np.isfinite(out['results']['best_early_stopping_loss'])
+    # the resumed run reused the stored config + the crash run's checkpoint
+    assert (tmp_path / 'runs' / 'faulty' / 'last.ckpt' / 'meta.json').exists()
