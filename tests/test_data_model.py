@@ -206,6 +206,18 @@ def test_zero_proper_molecule_roundtrip():
     assert np.isfinite(np.asarray(energy)).all()
     assert np.isfinite(np.asarray(gradient)).all()
 
+    # the extreme of the class: a diatomic (no angles either)
+    from grappa_tpu.data import Molecule
+    diatomic = Molecule(atoms=[0, 1], bonds=[(0, 1)], impropers=[],
+                        atomic_numbers=[1, 9], partial_charges=[0.2, -0.2])
+    b2 = collate([MolGraph.from_molecule(diatomic)], n_confs=2)
+    b2 = b2.replace(xyz=np.random.default_rng(0).normal(
+        0, 1, np.asarray(b2.xyz).shape).astype(np.float32))
+    p2 = model.init(jax.random.key(0), b2)
+    e2, g2 = mm_energy.energy_and_gradient(b2, model.apply(p2, b2))
+    assert np.isfinite(np.asarray(e2)).all()
+    assert np.isfinite(np.asarray(g2)).all()
+
 
 def test_k_fold_duplicate_consistency():
     """Overlapping subdatasets: every duplicate mol_id lands in exactly one
