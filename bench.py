@@ -206,7 +206,8 @@ def main():
                     'reference publishes no throughput)',
         'tflops': small['tflops'],
         'mfu': small['mfu'],
-        'mfu_peak': 'v5e dense bf16 394 TFLOP/s (step runs f32)',
+        'mfu_peak': 'v5e dense bf16 394 TFLOP/s (headline step runs f32; '
+                    'the bf16 section runs bf16 matmuls)',
         'mol_confs_per_sec': small['mol_confs_per_sec'],
         'bf16': bf16,
         'protein_scale': protein,

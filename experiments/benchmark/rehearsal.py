@@ -81,6 +81,10 @@ def main():
     history = out['results']['history']
     val = [h for h in history if h['epoch'] >= 2
            and h.get('early_stopping_loss') is not None]
+    if not val:   # shorter than the curriculum: no QM epochs to summarize
+        print(json.dumps({'epochs_run': len(history),
+                          'note': 'no post-curriculum epochs'}))
+        return
     best = min(val, key=lambda h: h['early_stopping_loss'])
     summary = {
         'config': 'experiments/benchmark/grappa_config.yaml',

@@ -177,14 +177,25 @@ def cmd_gmx(argv):
     if args.plot:
         from grappa_tpu.plotting import plot_parameters
         from grappa_tpu.wrappers.gromacs_topology import SKIP_MOLECULES
+        from grappa_tpu.wrappers.gromacs_wrapper import (
+            filter_parameters, fov_neighborhood)
         all_params = []
         for mt in top.molecule_types():
             if mt.name.upper() in SKIP_MOLECULES or len(mt.atom_rows()) < 2:
                 continue
             mol = molecule_from_moleculetype(mt, charge_model=args.charge_model)
-            all_params.append(ff.predict(mol, check_eq_values=False))
+            pred = ff.predict(mol, check_eq_values=False)
+            if args.focus:
+                # show only what was actually written in partial mode
+                apply_nrs = fov_neighborhood(
+                    [tuple(map(int, b)) for b in mol.bonds],
+                    set(args.focus), ff.field_of_view)
+                pred = filter_parameters(pred, apply_nrs)
+            all_params.append(pred)
         plot_parameters(all_params, filename=args.plot,
-                        title=f'grappa_tpu parameters: {args.topology}')
+                        title=f'grappa_tpu parameters: {args.topology}'
+                              + (f' (focus {sorted(args.focus)})'
+                                 if args.focus else ''))
     print(json.dumps({'written': args.output,
                       **({'plot': args.plot} if args.plot else {})}))
 

@@ -67,6 +67,9 @@ def default_config() -> Dict:
         "name": None,
         "notes": None,
         "checkpoint_every": 5,
+        # TPU-specific: dropout/shuffle PRNG ('rbg' is ~8% faster per step;
+        # 'threefry2x32' reproduces pre-rbg runs bit-for-bit)
+        "prng_impl": "rbg",
     }
 
     return {

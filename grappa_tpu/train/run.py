@@ -171,7 +171,9 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
                       out_dir=str(run_dir), full_config=config,
                       log_fn=logger.log,
                       seed=config['data_config'].get('seed', 0),
-                      cache_batches=cache_batches, mesh=mesh)
+                      cache_batches=cache_batches, mesh=mesh,
+                      prng_impl=config['trainer_config'].get(
+                          'prng_impl', 'rbg'))
     try:
         results = trainer.fit()
     finally:
@@ -217,7 +219,9 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
     trainer = Trainer(model, params, train_loader, val_loader,
                       config['lit_model_config'], config['trainer_config'],
                       out_dir=str(run_dir), full_config=config,
-                      log_fn=logger.log)
+                      log_fn=logger.log,
+                      prng_impl=config['trainer_config'].get(
+                          'prng_impl', 'rbg'))
     trainer.load_checkpoint(run_dir / 'last.ckpt')
     max_epochs = (trainer.epoch + extra_epochs if extra_epochs
                   else config['trainer_config'].get('max_epochs'))

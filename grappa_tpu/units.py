@@ -49,7 +49,10 @@ class Unit:
         if isinstance(other, Unit):
             return Unit(self.scale * other.scale, _dim_add(self.dims, other.dims),
                         f"{self.name}*{other.name}" if self.name and other.name else "")
-        if isinstance(other, (int, float, np.number)):
+        if isinstance(other, (int, float, np.number, np.ndarray)):
+            # unit * value: same Quantity as value * unit (openmm accepts
+            # both orders; __array_ufunc__ = None stops numpy from
+            # broadcasting Unit into an object array first)
             return Quantity(other, self)
         return NotImplemented
 

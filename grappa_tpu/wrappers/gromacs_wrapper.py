@@ -135,6 +135,32 @@ def gromacs_parameter_rows(params: Parameters,
     return rows
 
 
+def filter_parameters(params: Parameters,
+                      apply_nrs: Set[int]) -> Parameters:
+    """Parameters restricted to tuples whose atoms all lie in apply_nrs
+    (what a partial reparametrization actually writes)."""
+    def mask(tuples):
+        return np.array([all(int(x) in apply_nrs for x in t)
+                         for t in tuples], bool)
+
+    mb = mask(params.bonds)
+    ma = mask(params.angles)
+    mp = mask(params.propers)
+    mi = mask(params.impropers) if params.impropers is not None else None
+    return Parameters(
+        atoms=params.atoms,
+        bonds=params.bonds[mb], bond_k=params.bond_k[mb],
+        bond_eq=params.bond_eq[mb],
+        angles=params.angles[ma], angle_k=params.angle_k[ma],
+        angle_eq=params.angle_eq[ma],
+        propers=params.propers[mp], proper_ks=params.proper_ks[mp],
+        proper_phases=params.proper_phases[mp],
+        impropers=None if mi is None else params.impropers[mi],
+        improper_ks=None if mi is None else params.improper_ks[mi],
+        improper_phases=None if mi is None else params.improper_phases[mi],
+    )
+
+
 class GromacsGrappa(Grappa):
     """Grappa with a `parametrize(top_path, out_path)` GROMACS entry point."""
 

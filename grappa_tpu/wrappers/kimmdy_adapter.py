@@ -92,7 +92,16 @@ def make_kimmdy_parameterizer(grappa_instance: Grappa,
 
 def _apply_to_kimmdy_topology(topology, params, apply_nrs: Optional[Set[int]]):
     """Write predicted parameters into a kimmdy Topology in place (GROMACS
-    units; funct 1/1/9/4 like the file-based path)."""
+    units; funct 1/1/9/4).
+
+    Clear-and-replace like the file-based path (gromacs_wrapper
+    _merge_partial): every existing entry whose atoms all lie in the apply
+    region is dropped, then the predictions are inserted under grappa's
+    canonical tuple keys. Matching old keys entry-by-entry would be wrong —
+    a kimmdy topology may store the same proper reversed or an improper in
+    any of its orderings, which would leave stale unparametrized duplicates
+    behind (grappa emits 3 cyclic improper versions that jointly carry the
+    improper energy, replacing however many entries the topology had)."""
     from kimmdy.topology.atomic import (Angle, Bond, Dihedral,
                                         MultipleDihedrals)
     from grappa_tpu.wrappers.gromacs_wrapper import (
@@ -102,28 +111,27 @@ def _apply_to_kimmdy_topology(topology, params, apply_nrs: Optional[Set[int]]):
     def ok(tup):
         return apply_nrs is None or all(int(x) in apply_nrs for x in tup)
 
+    for store in (topology.bonds, topology.angles,
+                  topology.proper_dihedrals, topology.improper_dihedrals):
+        for key in [k for k in store if ok(k)]:
+            del store[key]
+
     for i, (a, b) in enumerate(params.bonds):
         if not ok((a, b)):
             continue
-        key = (str(int(a)), str(int(b)))
-        if key not in topology.bonds:
-            key = key[::-1]
-        if key in topology.bonds:
-            topology.bonds[key] = Bond(
-                *key, funct='1',
-                c0=f'{params.bond_eq[i] * BOND_EQ_FACTOR:.6f}',
-                c1=f'{params.bond_k[i] * BOND_K_FACTOR:.4f}')
+        key = tuple(str(x) for x in sorted((int(a), int(b))))
+        topology.bonds[key] = Bond(
+            *key, funct='1',
+            c0=f'{params.bond_eq[i] * BOND_EQ_FACTOR:.6f}',
+            c1=f'{params.bond_k[i] * BOND_K_FACTOR:.4f}')
     for i, (a, b, c) in enumerate(params.angles):
         if not ok((a, b, c)):
             continue
         key = (str(int(a)), str(int(b)), str(int(c)))
-        if key not in topology.angles:
-            key = key[::-1]
-        if key in topology.angles:
-            topology.angles[key] = Angle(
-                *key, funct='1',
-                c0=f'{params.angle_eq[i] * ANGLE_EQ_FACTOR:.4f}',
-                c1=f'{params.angle_k[i] * ANGLE_K_FACTOR:.4f}')
+        topology.angles[key] = Angle(
+            *key, funct='1',
+            c0=f'{params.angle_eq[i] * ANGLE_EQ_FACTOR:.4f}',
+            c1=f'{params.angle_k[i] * ANGLE_K_FACTOR:.4f}')
     for tuples, ks, phases, store, funct in (
             (params.propers, params.proper_ks, params.proper_phases,
              topology.proper_dihedrals, '9'),

@@ -284,14 +284,15 @@ class OpenmmGrappa(Grappa):
             try:
                 reference = _classical_parameters_from_openmm(system,
                                                               molecule)
+            except Exception:
+                reference = None   # no classical bonded forces to compare
+            if reference is not None:
                 plot_parameters(reference,
                                 str(out / 'reference_parameters.png'),
                                 title='Reference')
                 compare_parameters(params, reference,
                                    str(out / 'parameter_comparison.png'),
                                    xlabel='Grappa', ylabel='Reference')
-            except Exception:
-                pass  # systems without classical bonded forces: skip
         return write_to_system(system, params)
 
 

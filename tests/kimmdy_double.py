@@ -77,7 +77,13 @@ class Topology:
 
 def topology_from_molecule(mol, radicals=()):
     """Build a kimmdy-style Topology from a grappa Molecule (atom ids become
-    1-based nrs; tuple dicts prefilled with unparametrized entries)."""
+    1-based nrs; tuple dicts prefilled with unparametrized entries).
+
+    Deliberately uses DIFFERENT tuple orders than grappa's canonical ones —
+    every second proper stored reversed, impropers stored as ONE entry per
+    atom set in sorted order (real kimmdy/GROMACS topologies do not follow
+    grappa's conventions) — so adapter tests exercise the clear-and-replace
+    semantics rather than key-identity luck."""
     top = Topology()
     ids = [int(a) for a in mol.atoms]
     nr_of = {a: str(i + 1) for i, a in enumerate(ids)}
@@ -90,11 +96,18 @@ def topology_from_molecule(mol, radicals=()):
     for a, b, c in mol.angles:
         key = (nr_of[int(a)], nr_of[int(b)], nr_of[int(c)])
         top.angles[key] = Angle(*key)
-    for t in mol.propers:
+    for i, t in enumerate(mol.propers):
         key = tuple(nr_of[int(x)] for x in t)
+        if i % 2:
+            key = key[::-1]
         top.proper_dihedrals[key] = MultipleDihedrals(*key, funct='9')
+    seen_improper_sets = set()
     for t in mol.impropers:
-        key = tuple(nr_of[int(x)] for x in t)
+        atom_set = frozenset(int(x) for x in t)
+        if atom_set in seen_improper_sets:
+            continue          # one entry per set, like a real topology
+        seen_improper_sets.add(atom_set)
+        key = tuple(nr_of[x] for x in sorted(atom_set))
         top.improper_dihedrals[key] = MultipleDihedrals(*key, funct='4')
     return top
 

@@ -297,10 +297,28 @@ def test_cli_focus_flag(gmx_model, tmp_path):
     top_path.write_text(TOP_TEXT)
     out_path = tmp_path / 'cli_partial.top'
 
+    plot_path = tmp_path / 'partial_params.png'
     rc = main(['gmx', '-f', str(top_path), '-o', str(out_path),
-               '-t', str(model_path), '--focus', '1'])
+               '-t', str(model_path), '--focus', '1', '-p', str(plot_path)])
     assert rc == 0
     out = GromacsTopology.parse(out_path)
     bonds = out.molecule_types()[0].section('bonds').data_rows()
     assert len(bonds) == 13
     assert not any(r[4] == '224262.4' for r in bonds)   # rewritten
+    assert plot_path.exists()   # plot restricted to the written region
+
+
+def test_filter_parameters():
+    from grappa_tpu.wrappers.gromacs_wrapper import filter_parameters
+    from grappa_tpu.data.synthetic import random_molecule, random_parameters
+    mol = random_molecule(seed=5, n_atoms=12)
+    params = random_parameters(mol, seed=1)
+    keep = set(range(6))
+    sub = filter_parameters(params, keep)
+    assert all(all(int(x) in keep for x in b) for b in sub.bonds)
+    assert len(sub.bonds) < len(params.bonds)
+    # values follow their tuples
+    idx = {tuple(map(int, b)): i for i, b in enumerate(params.bonds)}
+    for j, b in enumerate(sub.bonds):
+        np.testing.assert_allclose(sub.bond_k[j],
+                                   params.bond_k[idx[tuple(map(int, b))]])

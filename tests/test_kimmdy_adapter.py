@@ -85,13 +85,18 @@ def test_parameterize_topology_full(small_grappa):
     for key, angle in top.angles.items():
         assert angle.funct == '1' and angle.c0 is not None
         assert 0.0 < float(angle.c0) <= 180.0 * 1.0001   # degrees
-    # torsions: one MultipleDihedrals per tuple, per-periodicity entries
+    # torsions: one MultipleDihedrals per predicted tuple, per-periodicity
+    # entries, and NO stale unparametrized entries left behind even though
+    # the topology stored propers reversed / impropers in sorted order
+    assert len(top.proper_dihedrals) == len(expected.propers)
+    assert len(top.improper_dihedrals) == len(expected.impropers)
+    assert all(md.dihedrals for md in top.proper_dihedrals.values())
+    assert all(md.dihedrals for md in top.improper_dihedrals.values())
     md = next(iter(top.proper_dihedrals.values()))
     assert md.funct == '9'
     assert set(md.dihedrals) == {str(n + 1) for n in
                                  range(expected.proper_ks.shape[1])}
-    md_i = next(iter(top.improper_dihedrals.values()))
-    assert md_i.funct == '4'
+    assert next(iter(top.improper_dihedrals.values())).funct == '4'
 
 
 def test_parameterize_topology_partial_focus(small_grappa):
