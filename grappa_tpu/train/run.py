@@ -207,6 +207,12 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
     run_dir = Path(run_dir)
     config = read_yaml(run_dir / 'grappa_config.yaml')
     ckpt_meta = json.loads((run_dir / 'last.ckpt' / 'meta.json').read_text())
+    if not config['data_config'].get('datasets'):
+        raise ValueError(
+            f"the stored config of {run_dir} lists no datasets — the run was "
+            f"trained with a dataset_override, which is not persisted; "
+            f"resume such runs by calling Trainer.load_checkpoint directly "
+            f"with the original dataset")
 
     train_loader, val_loader, _, _ = get_dataloaders(
         config['data_config'], None)

@@ -301,6 +301,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, max_epochs: Optional[int] = None) -> Dict:
+        """Train until `self.epoch` reaches max_epochs (ABSOLUTE, like the
+        reference's Lightning max_epochs — a resumed run continues to the
+        same target instead of running max_epochs more)."""
         max_epochs = max_epochs or int(self.trainer_cfg.get('max_epochs', 100))
         time_limit_h = self.cfg.get('time_limit')
         finish_criterion = {
@@ -311,7 +314,7 @@ class Trainer:
         self._last_best_save = -ckpt_every
         start_time = time.time()
 
-        for _ in range(max_epochs):
+        while self.epoch < max_epochs:
             self.train_epoch()
             metrics = self.validate()
             es_loss = early_stopping_loss(metrics, es_energy_w)

@@ -250,3 +250,28 @@ def test_safe_trainrun_crash_recovery(tmp_path, monkeypatch):
     assert np.isfinite(out['results']['best_early_stopping_loss'])
     # the resumed run reused the stored config + the crash run's checkpoint
     assert (tmp_path / 'runs' / 'faulty' / 'last.ckpt' / 'meta.json').exists()
+
+
+def test_resume_epoch_semantics(tmp_path):
+    """fit's max_epochs is ABSOLUTE: a finished run resumes as a no-op, and
+    extra_epochs continues exactly that many epochs past the checkpoint."""
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.train.run import do_trainrun, resume_trainrun
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=6, n_confs=4, seed=9),
+                         'syn-resume').save(ds_dir)
+    config = _small_config(ds_dir, max_epochs=2)
+    config['trainer_config']['checkpoint_every'] = 1
+    out = do_trainrun(config, project_dir=str(tmp_path / 'runs'),
+                      run_name='resumable')
+    assert out['trainer'].epoch == 2
+
+    # stored max_epochs already reached -> resume does nothing
+    out2 = resume_trainrun(str(tmp_path / 'runs' / 'resumable'))
+    assert out2['trainer'].epoch == 2
+
+    # extra_epochs continues exactly past the checkpoint
+    out3 = resume_trainrun(str(tmp_path / 'runs' / 'resumable'),
+                           extra_epochs=2)
+    assert out3['trainer'].epoch == 4
