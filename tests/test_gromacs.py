@@ -322,3 +322,44 @@ def test_filter_parameters():
     for j, b in enumerate(sub.bonds):
         np.testing.assert_allclose(sub.bond_k[j],
                                    params.bond_k[idx[tuple(map(int, b))]])
+
+
+MESSY_TOP = """
+; a comment line
+#define FLEXIBLE   ; trailing comment
+[ defaults ]
+ 1  2  yes  0.5 0.8333
+
+[moleculetype]   ; no spaces inside the brackets
+ MOL   3
+
+[ atoms ]
+; nr type resnr residue atom cgnr charge mass
+  1  CT  1  MOL  C1  1  -0.1  12.011
+  2  HC  1  MOL  H1  1   0.05  1.008
+  3  HC  1  MOL  H2  1   0.05  1.008
+
+[ bonds ]
+  1 2 1
+\t1 3 1  ; tab-indented + trailing comment
+
+[ system ]
+messy test
+[ molecules ]
+MOL 1
+"""
+
+
+def test_parser_tolerates_messy_topologies():
+    """Real-world .top quirks: comments, #define, bracket spacing variants,
+    tabs, trailing comments, blank lines — parse, round-trip, and survive a
+    reparse of our own output."""
+    top = GromacsTopology.parse(MESSY_TOP)
+    mol = top.molecule_types()[0]
+    assert mol.name == 'MOL'
+    assert len(mol.atom_rows()) == 3
+    assert [r[:2] for r in mol.section('bonds').data_rows()] == [
+        ['1', '2'], ['1', '3']]
+    again = GromacsTopology.parse(top.write())
+    assert [m.name for m in again.molecule_types()] == ['MOL']
+    assert len(again.molecule_types()[0].atom_rows()) == 3
