@@ -54,17 +54,45 @@ def model_path_from_tag(tag: str) -> Path:
     return _download(url, target)
 
 
+DATASET_BASE_URL = f'{BASE_URL}/v.1.2.0'
+
+
 def dataset_path_from_tag(tag: str) -> Path:
-    """Resolve a dataset tag to a local dataset directory."""
+    """Resolve a dataset tag to a local dataset directory, downloading and
+    extracting `<tag>.zip` from the release into the cache if needed
+    (reference semantics: dataset_utils.get_path_from_tag)."""
     p = Path(tag)
     if p.exists():
         return p
     target = cache_dir() / 'datasets' / tag
     if target.exists():
         return target
-    raise FileNotFoundError(
-        f"dataset {tag!r} not found at {target}; this environment has no "
-        f"network egress — place the dataset directory there manually")
+    if tag not in DATASET_TAGS:
+        raise KeyError(f"unknown dataset tag {tag!r}; known: {DATASET_TAGS} "
+                       f"(or pass a dataset directory path)")
+    zip_path = cache_dir() / 'datasets' / f'{tag}.zip'
+    if not zip_path.exists():
+        _download(f'{DATASET_BASE_URL}/{tag}.zip', zip_path)
+    return extract_dataset_zip(zip_path, target)
+
+
+def extract_dataset_zip(zip_path: Path, target: Path) -> Path:
+    """Extract a release dataset archive into the cache; archives may nest
+    everything under one top-level directory (the tag name) — flatten it."""
+    import shutil
+    import zipfile
+    tmp = target.with_name(target.name + '.extract')
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(tmp)
+    entries = list(tmp.iterdir())
+    src = entries[0] if len(entries) == 1 and entries[0].is_dir() else tmp
+    target.parent.mkdir(parents=True, exist_ok=True)
+    src.rename(target)
+    if src != tmp and tmp.exists():
+        shutil.rmtree(tmp)
+    return target
 
 
 def _download(url: str, target: Path) -> Path:

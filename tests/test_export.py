@@ -145,5 +145,27 @@ def test_zoo_tag_resolution_from_cache(trained_like, tmp_path, monkeypatch):
     ds_dir = tmp_path / 'datasets' / 'spice-dipeptide'
     ds_dir.mkdir(parents=True)
     assert zoo.dataset_path_from_tag('spice-dipeptide') == ds_dir
-    with pytest.raises(FileNotFoundError, match='no\\s+network egress'):
+    # uncached tag: the download attempt fails offline with a clear message
+    with pytest.raises(RuntimeError, match='place the file at'):
         zoo.dataset_path_from_tag('rna-diverse')
+    with pytest.raises(KeyError, match='unknown dataset tag'):
+        zoo.dataset_path_from_tag('no-such-dataset')
+
+    # a downloaded release zip (here: a locally built one, tag-nested like
+    # the real archives) extracts into the cache and resolves by tag
+    import zipfile
+    from pathlib import Path
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.data.dataset import Dataset
+    src = tmp_path / 'build' / 'gen2'
+    Dataset.from_moldata(make_dataset(n_mols=3, n_confs=2, seed=2),
+                         'gen2').save(src)
+    zip_path = tmp_path / 'datasets' / 'gen2.zip'
+    zip_path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(zip_path, 'w') as zf:
+        for f in sorted(src.rglob('*')):
+            zf.write(f, Path('gen2') / f.relative_to(src))
+    resolved = zoo.dataset_path_from_tag('gen2')
+    assert resolved == tmp_path / 'datasets' / 'gen2'
+    loaded = Dataset.load(resolved)
+    assert len(loaded) == 3
