@@ -10,7 +10,7 @@ from grappa_tpu.data.loader import GraphLoader
 try:
     ds = Dataset.from_tag('spice-dipeptide')
     print("loaded spice-dipeptide from the cache")
-except FileNotFoundError:
+except (FileNotFoundError, RuntimeError):   # not cached + offline
     from grappa_tpu.data.synthetic import make_dataset
     ds = Dataset.from_moldata(
         make_dataset(n_mols=32, n_confs=8, seed=0, learnable=True),

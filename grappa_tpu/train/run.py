@@ -77,7 +77,10 @@ def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
         for tag in cfg.get(key, []) or []:
             try:
                 extra = load_datasets([tag])
-            except FileNotFoundError:
+            except (FileNotFoundError, RuntimeError, KeyError) as exc:
+                # pure datasets are auxiliary; missing ones are skipped
+                # LOUDLY (the new zoo path raises RuntimeError offline)
+                print(f"skipping pure dataset {tag!r}: {exc}")
                 continue
             extra.remove_uncommon_features()
             if target == 'tr':
