@@ -183,14 +183,23 @@ def cmd_gmx(argv):
         for mt in top.molecule_types():
             if mt.name.upper() in SKIP_MOLECULES or len(mt.atom_rows()) < 2:
                 continue
-            mol = molecule_from_moleculetype(mt, charge_model=args.charge_model)
-            pred = ff.predict(mol, check_eq_values=False)
             if args.focus:
-                # show only what was actually written in partial mode
-                apply_nrs = fov_neighborhood(
-                    [tuple(map(int, b)) for b in mol.bonds],
-                    set(args.focus), ff.field_of_view)
-                pred = filter_parameters(pred, apply_nrs)
+                # mirror _parametrize_moleculetype exactly: predict on the
+                # double-FOV subgraph, show only the applied single FOV —
+                # so the plotted values match what was written
+                bonds = [tuple(map(int, b)) for b in mt.bonds()]
+                apply_nrs = fov_neighborhood(bonds, set(args.focus),
+                                             ff.field_of_view)
+                build_nrs = fov_neighborhood(bonds, apply_nrs,
+                                             ff.field_of_view)
+                mol = molecule_from_moleculetype(
+                    mt, charge_model=args.charge_model, atom_filter=build_nrs)
+                pred = filter_parameters(
+                    ff.predict(mol, check_eq_values=False), apply_nrs)
+            else:
+                mol = molecule_from_moleculetype(
+                    mt, charge_model=args.charge_model)
+                pred = ff.predict(mol, check_eq_values=False)
             all_params.append(pred)
         plot_parameters(all_params, filename=args.plot,
                         title=f'grappa_tpu parameters: {args.topology}'

@@ -232,7 +232,7 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
                       prng_impl=config['trainer_config'].get(
                           'prng_impl', 'rbg'))
     trainer.load_checkpoint(run_dir / 'last.ckpt')
-    max_epochs = (trainer.epoch + extra_epochs if extra_epochs
+    max_epochs = (trainer.epoch + extra_epochs if extra_epochs is not None
                   else config['trainer_config'].get('max_epochs'))
     try:
         results = trainer.fit(max_epochs=max_epochs)

@@ -145,6 +145,12 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.best_loss = float('inf')
+        # plateau-decay baseline, separate from best_loss: best_loss stays a
+        # monotone global best (it gates best.ckpt, like the reference's
+        # Lightning checkpoint monitor, lightning_trainer.py:53-84), while
+        # this baseline is reset after an LR decay so the patience counter
+        # measures progress since the decay, not since the global best.
+        self.plateau_baseline = float('inf')
         self.epochs_without_improvement = 0
         self.elapsed_time = 0.0
         # rbg (XLA RngBitGenerator) keys: ~8% faster full train step than
@@ -304,7 +310,8 @@ class Trainer:
         """Train until `self.epoch` reaches max_epochs (ABSOLUTE, like the
         reference's Lightning max_epochs — a resumed run continues to the
         same target instead of running max_epochs more)."""
-        max_epochs = max_epochs or int(self.trainer_cfg.get('max_epochs', 100))
+        if max_epochs is None:  # explicit 0 means "train nothing"
+            max_epochs = int(self.trainer_cfg.get('max_epochs', 100))
         time_limit_h = self.cfg.get('time_limit')
         finish_criterion = {
             float(k): float(v)
@@ -325,8 +332,8 @@ class Trainer:
 
             if self.epoch >= self.start_qm_epochs and np.isfinite(es_loss):
                 if es_loss < self.best_loss:
+                    # monotone global best — gates best.ckpt only
                     self.best_loss = es_loss
-                    self.epochs_without_improvement = 0
                     # best checkpoints: params only (no optimizer state) and
                     # throttled — device->host transfer of the full Adam
                     # state is expensive on tunneled chips
@@ -335,13 +342,16 @@ class Trainer:
                         self.save_checkpoint(self.out_dir / 'best.ckpt',
                                              include_opt_state=False)
                         self._last_best_save = self.epoch
+                if es_loss < self.plateau_baseline:
+                    self.plateau_baseline = es_loss
+                    self.epochs_without_improvement = 0
                 else:
                     self.epochs_without_improvement += 1
                     patience = int(self.cfg.get('patience', 50))
                     if patience > 0 and self.epochs_without_improvement > patience:
                         self.lr *= float(self.cfg.get('lr_decay', 0.8))
                         self.epochs_without_improvement = 0
-                        self.best_loss = es_loss
+                        self.plateau_baseline = es_loss
 
             elapsed_h = (time.time() - start_time + self.elapsed_time) / 3600.0
             relevant = [v for k, v in finish_criterion.items() if k < elapsed_h]
@@ -372,6 +382,7 @@ class Trainer:
         meta = {
             'epoch': self.epoch, 'global_step': self.global_step,
             'lr': self.lr, 'best_loss': self.best_loss,
+            'plateau_baseline': self.plateau_baseline,
             'elapsed_time': self.elapsed_time + 0.0,
             'config': _jsonable(self.full_config),
         }
@@ -389,6 +400,7 @@ class Trainer:
         self.global_step = meta['global_step']
         self.lr = meta['lr']
         self.best_loss = meta['best_loss']
+        self.plateau_baseline = meta.get('plateau_baseline', meta['best_loss'])
         self.elapsed_time = meta.get('elapsed_time', 0.0)
 
 

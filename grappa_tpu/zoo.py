@@ -84,8 +84,16 @@ def extract_dataset_zip(zip_path: Path, target: Path) -> Path:
     tmp = target.with_name(target.name + '.extract')
     if tmp.exists():
         shutil.rmtree(tmp)
-    with zipfile.ZipFile(zip_path) as zf:
-        zf.extractall(tmp)
+    try:
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(tmp)
+    except zipfile.BadZipFile as exc:
+        # a corrupt/truncated cached archive would otherwise block dataset
+        # resolution forever (the exists() guard skips re-downloading)
+        zip_path.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"cached dataset archive {zip_path} was corrupt and has been "
+            f"removed; retry to re-download it") from exc
     entries = list(tmp.iterdir())
     src = entries[0] if len(entries) == 1 and entries[0].is_dir() else tmp
     target.parent.mkdir(parents=True, exist_ok=True)

@@ -244,3 +244,48 @@ def test_training_smoke(tmp_path):
     leaves2 = jax.tree.leaves(trainer2.params)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plateau_decay_keeps_monotone_best(tmp_path, monkeypatch):
+    """After an LR plateau decay, a later epoch that is worse than the global
+    best must NOT overwrite best.ckpt (the reference's checkpoint callback
+    monitors a monotone best, lightning_trainer.py:53-84), while the patience
+    counter measures progress against the post-decay baseline."""
+    from grappa_tpu.train import trainer as trainer_mod
+
+    losses = [10.0, 12.0, 13.0,  # decay triggers after epoch 2 (patience 1)
+              11.0,              # beats post-decay baseline, NOT global best
+              9.0]               # new global best
+    trainer = Trainer(model=None, params={'w': jnp.zeros(1)},
+                      train_loader=None, val_loader=None,
+                      lit_config={'lr': 1e-3, 'start_qm_epochs': 0,
+                                  'patience': 1, 'lr_decay': 0.5},
+                      trainer_config={'checkpoint_every': 1},
+                      out_dir=str(tmp_path / 'run'))
+    monkeypatch.setattr(trainer, 'train_epoch', lambda: None)
+    monkeypatch.setattr(trainer, 'validate',
+                        lambda: {'es': losses[trainer.epoch]})
+    monkeypatch.setattr(trainer_mod, 'early_stopping_loss',
+                        lambda metrics, w: metrics['es'])
+    best_saves = []
+    real_save = trainer.save_checkpoint
+    monkeypatch.setattr(
+        trainer, 'save_checkpoint',
+        lambda path, include_opt_state=True: (
+            best_saves.append((trainer.epoch, losses[trainer.epoch]))
+            if str(path).endswith('best.ckpt')
+            else real_save(path, include_opt_state)))
+    trainer.fit(max_epochs=len(losses))
+
+    assert trainer.best_loss == 9.0
+    # the LR decayed exactly once (after epochs 1,2 exhausted patience 1)
+    assert trainer.lr == pytest.approx(5e-4)
+    # best.ckpt saved only on true global improvements: epochs 0 and 4.
+    # epoch 3 (post-decay 11.0 < baseline 13.0 but > global best 10.0)
+    # must not appear.
+    assert best_saves == [(0, 10.0), (4, 9.0)]
+    # resume restores both trackers
+    meta = __import__('json').loads(
+        (tmp_path / 'run' / 'last.ckpt' / 'meta.json').read_text())
+    assert meta['best_loss'] == 9.0
+    assert meta['plateau_baseline'] == 9.0
