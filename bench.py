@@ -128,7 +128,15 @@ def measure_jax(batch, n_steps=100, n_warmup=10, compute_dtype='float32'):
     lr = jnp.float32(1e-4)
     rng = jax.random.key(1, impl='rbg')   # the Trainer's default PRNG
 
-    flops = _compiled_flops(step, (params, opt_state, batch, weights, lr, rng))
+    # FLOPs: XLA's cost analysis of the math-identical DENSE (unfused)
+    # step — the fused Pallas heads are custom calls whose flops XLA cannot
+    # see, and their in-kernel backward recompute should not be credited to
+    # MFU either. This counts algorithmic flops only (conservative).
+    flops_cfg = dict(cfg)
+    flops_cfg['fused_heads'] = False
+    step_dense = make_train_step(make_model(flops_cfg), tx)
+    flops = _compiled_flops(step_dense,
+                            (params, opt_state, batch, weights, lr, rng))
 
     for _ in range(n_warmup):
         params, opt_state, loss, _ = step(params, opt_state, batch, weights,

@@ -231,6 +231,60 @@ def cmd_release(argv):
                       'release': args.release_tag}))
 
 
+def cmd_import_ref(argv):
+    p = argparse.ArgumentParser(
+        prog='grappa_import_ref',
+        description='Import a published reference grappa .pth checkpoint: '
+                    'key-for-key audit against the expected reference '
+                    'contract, tolerant load with a loud report, and a '
+                    'smoke prediction. Works the moment the file lands in '
+                    'the cache (zero egress here: drop it into '
+                    '~/.cache/grappa_tpu/models/<tag>.pth).')
+    p.add_argument('-t', '--tag', default=None,
+                   help='model tag (grappa-1.2, ...) resolved via the cache')
+    p.add_argument('-f', '--file', default=None, help='path to a .pth file')
+    args = p.parse_args(argv)
+    if not args.tag and not args.file:
+        p.error('need --tag or --file')
+
+    import warnings
+
+    from grappa_tpu.train.export import load_model_dict
+    from grappa_tpu.train.torch_compat import expected_reference_keys
+    from grappa_tpu.zoo import model_path_from_tag
+    path = Path(args.file) if args.file else model_path_from_tag(args.tag)
+    model_dict = load_model_dict(path)
+    sd = model_dict['state_dict']
+    model_config = model_dict['config'].get('model_config',
+                                            model_dict['config'])
+    expected = expected_reference_keys(model_config)
+    present = set(sd)
+    report = {
+        'file': str(path),
+        'keys_in_file': len(present),
+        'keys_expected': len(expected),
+        'missing_vs_expected': sorted(expected - present),
+        'unexpected_in_file': sorted(present - expected),
+    }
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        from grappa_tpu.train.export import model_from_dict
+        model, params, config = model_from_dict(model_dict)
+        report['import_warnings'] = [str(w.message) for w in caught]
+
+    # smoke prediction through the full inference API
+    from grappa_tpu.api import Grappa
+    from grappa_tpu.data.synthetic import make_moldata
+    g = Grappa(model, params, config)
+    pred = g.predict(make_moldata(seed=0, n_confs=1).molecule)
+    report['smoke_predict'] = {
+        'n_bonds': int(len(pred.bonds)),
+        'bond_k_mean': float(pred.bond_k.mean()),
+        'bond_eq_mean': float(pred.bond_eq.mean()),
+    }
+    print(json.dumps(report, indent=1))
+
+
 COMMANDS = {
     'train': cmd_train,
     'resume': cmd_resume,
@@ -238,6 +292,7 @@ COMMANDS = {
     'export': cmd_export,
     'gmx': cmd_gmx,
     'release': cmd_release,
+    'import-ref': cmd_import_ref,
 }
 
 

@@ -74,6 +74,10 @@ def get_default_model_config() -> Dict:
         # TPU-specific: matmul compute dtype ('float32' | 'bfloat16');
         # parameters, layer norms, softmax and all physics stay float32
         "compute_dtype": "float32",
+        # TPU-specific: fused Pallas transformer block for the tuple heads
+        # ('auto' = on for TPU backends, off on CPU; identical math and an
+        # identical checkpoint tree either way — ops/fused_block.py)
+        "fused_heads": "auto",
         # TPU-specific: layer-wise rematerialization (jax.checkpoint) of the
         # GNN and head transformer blocks — trades recompute FLOPs for HBM,
         # enabling 40k+-atom systems in training on one chip
@@ -117,6 +121,13 @@ class GrappaModel(nn.Module):
         cfg = self.cfg
         dtype = (jnp.bfloat16 if cfg.get('compute_dtype') == 'bfloat16'
                  else None)
+        fused = cfg.get('fused_heads', 'auto')
+        if fused == 'auto':
+            # the fused Pallas head block is TPU-only; CPU (tests, meshes)
+            # takes the identical-math XLA path
+            import jax
+            fused = jax.default_backend() not in ('cpu',)
+        fused = bool(fused) and bool(cfg['layer_norm'])
         h = GrappaGNN(
             out_feats=cfg['graph_node_features'],
             node_feats=cfg['gnn_width'],
@@ -153,6 +164,7 @@ class GrappaModel(nn.Module):
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
             remat=cfg.get('remat', False),
+            fused=fused,
             name='bond_writer',
         )(h, batch.terms['n2'].idxs, deterministic)
 
@@ -174,6 +186,7 @@ class GrappaModel(nn.Module):
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
             remat=cfg.get('remat', False),
+            fused=fused,
             name='angle_writer',
         )(h, batch.terms['n3'].idxs, deterministic)
 
@@ -205,6 +218,7 @@ class GrappaModel(nn.Module):
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
             remat=cfg.get('remat', False),
+            fused=fused,
             name='proper_writer',
         )(h, batch.terms['n4'].idxs, deterministic)
 
@@ -227,6 +241,7 @@ class GrappaModel(nn.Module):
             dtype=dtype,
             learnable_statistics=cfg['learnable_statistics'],
             remat=cfg.get('remat', False),
+            fused=fused,
             name='improper_writer',
         )(h, batch.terms['n4_improper'].idxs, deterministic)
 

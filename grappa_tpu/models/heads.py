@@ -100,6 +100,7 @@ class TupleHead(nn.Module):
     layer_norm: bool = True
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
@@ -113,20 +114,59 @@ class TupleHead(nn.Module):
             pos = jnp.broadcast_to(pos[None], (x.shape[0], *pos.shape))
             x = jnp.concatenate([x, pos], axis=-1)
 
+        symmetriser = Symmetriser(
+            permutations=self.permutations,
+            hidden_feats=self.symmetriser_feats, out_feats=self.out_feats,
+            n_layers=self.symmetriser_layers, layer_norm=self.layer_norm,
+            dtype=self.dtype, name='symmetriser')
+
+        if self.fused and self.layer_norm:
+            from grappa_tpu.ops.fused_symmetriser import fused_symmetriser
+            xs = self._fused_transformer(x, deterministic)   # (S, T, F)
+            _ = symmetriser(x[:1], True)     # materialize params only
+            return fused_symmetriser(
+                xs, symmetriser.variables['params'],
+                tuple(tuple(p) for p in self.permutations),
+                self.symmetriser_layers, self.dtype)
+
         Block = (nn.remat(TransformerBlock, static_argnums=(2,))
                  if self.remat else TransformerBlock)
         for i in range(self.transformer_layers):
             x = Block(
-                self.n_heads, self.hidden_feats, layer_norm=self.layer_norm,
-                dropout=self.dropout, dtype=self.dtype, name=f'transformer_{i}',
+                self.n_heads, self.hidden_feats,
+                layer_norm=self.layer_norm, dropout=self.dropout,
+                dtype=self.dtype, name=f'transformer_{i}',
             )(x, deterministic)
+        return symmetriser(x, deterministic=deterministic)
 
-        return Symmetriser(
-            permutations=self.permutations,
-            hidden_feats=self.symmetriser_feats, out_feats=self.out_feats,
-            n_layers=self.symmetriser_layers, layer_norm=self.layer_norm,
-            dtype=self.dtype, name='symmetriser',
-        )(x, deterministic=deterministic)
+    def _fused_transformer(self, x, deterministic: bool):
+        """Run the transformer stack through the fused Pallas block
+        (ops/fused_block.py): identical math and an identical param tree —
+        each TransformerBlock is instantiated and touched with a one-row
+        dummy so its flax params exist, then the kernel consumes them.
+        3.3x faster fwd+bwd than the XLA stack on TPU (head_probe.py);
+        only the block input is saved for backward, so remat is moot."""
+        import jax
+
+        from grappa_tpu.ops.fused_block import fused_transformer_block
+        xs = x.transpose(1, 0, 2)                    # (S, T, F)
+        for i in range(self.transformer_layers):
+            blk = TransformerBlock(
+                self.n_heads, self.hidden_feats, layer_norm=self.layer_norm,
+                dropout=self.dropout, dtype=self.dtype,
+                name=f'transformer_{i}')
+            _ = blk(x[:1], True)                     # materialize params only
+            if deterministic or self.dropout == 0.0:
+                seed = jnp.uint32(0)
+            else:
+                key = self.make_rng('dropout')
+                seed = jax.random.key_data(key).reshape(-1)[-1].astype(
+                    jnp.uint32)
+            xs = fused_transformer_block(
+                xs, blk.variables['params'], seed, self.n_heads,
+                self.dropout,
+                bool(deterministic or self.dropout == 0.0), self.dtype)
+        return xs                                # stays (S, T, F)
 
 
 class HarmonicParameterHead(nn.Module):
@@ -152,6 +192,7 @@ class HarmonicParameterHead(nn.Module):
     dtype: Optional[jnp.dtype] = None
     learnable_statistics: bool = False
     remat: bool = False
+    fused: bool = False
 
     def _stat(self, name: str, value):
         """Scaler statistic: a trainable parameter when learnable_statistics
@@ -175,7 +216,8 @@ class HarmonicParameterHead(nn.Module):
             permutations=PERMUTATIONS[self.term],
             positional_encoding=pos_enc,
             dropout=self.dropout, layer_norm=self.layer_norm,
-            dtype=self.dtype, remat=self.remat, name='head',
+            dtype=self.dtype, remat=self.remat, fused=self.fused,
+            name='head',
         )(h, idxs, deterministic=deterministic)
         coeffs = coeffs.astype(jnp.float32)
 
@@ -214,6 +256,7 @@ class TorsionParameterHead(nn.Module):
     dtype: Optional[jnp.dtype] = None
     learnable_statistics: bool = False
     remat: bool = False
+    fused: bool = False
 
     def _stat(self, name: str, value):
         if self.learnable_statistics:
@@ -240,7 +283,8 @@ class TorsionParameterHead(nn.Module):
             out_feats=n_out, permutations=perms,
             positional_encoding=pos_enc,
             dropout=self.dropout, layer_norm=self.layer_norm,
-            dtype=self.dtype, remat=self.remat, name='head',
+            dtype=self.dtype, remat=self.remat, fused=self.fused,
+            name='head',
         )(h, idxs, deterministic=deterministic)
         coeffs = coeffs.astype(jnp.float32)
 

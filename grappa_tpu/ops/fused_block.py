@@ -327,7 +327,7 @@ def _pad_t(x, block_t):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_transformer_block(x, params, seed, n_heads=8, dropout_rate=0.0,
-                            deterministic=True, mm_dtype=None, block_t=256):
+                            deterministic=True, mm_dtype=None, block_t=128):
     """One TransformerBlock on x (S, T, F); params = flax block param tree.
 
     seed: uint32 scalar array (ignored when deterministic).

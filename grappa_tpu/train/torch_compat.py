@@ -54,6 +54,118 @@ def _ln_out(sd, name, p):
     sd[f'{name}.bias'] = _t(p['bias'])
 
 
+def _writer_permutations(writer: str, cfg: Dict):
+    """The symmetry permutation set the reference bakes into each writer's
+    Symmetriser buffer (interaction_parameters.py:238,331,499-508)."""
+    perms = {
+        'bond': [[0, 1], [1, 0]],
+        'angle': [[0, 1, 2], [2, 1, 0]],
+        'proper': [[0, 1, 2, 3], [3, 2, 1, 0]],
+        'improper': [[0, 1, 2, 3], [3, 1, 2, 0]],
+    }[writer]
+    if writer == 'improper' and cfg.get('wrong_symmetry'):
+        perms = [[0, 1, 2, 3], [3, 1, 2, 0], [1, 3, 2, 0],
+                 [0, 3, 2, 1], [3, 0, 2, 1], [1, 0, 2, 3]]
+    return perms
+
+
+def expected_reference_keys(model_config: Dict = None) -> set:
+    """Every state_dict key a real published grappa `.pth` contains for this
+    model config — enumerated from the reference module definitions:
+
+      * GrappaModel: `gnn` + `parameter_writer` (grappa.py:56-108)
+      * GrappaGNN: pre_dense.0, conv_blocks.{i} (SAGEConv), att_blocks.{i}
+        (LayerNorm + DotGatConv fc + head_reducer + interaction_norm +
+        self_interaction.{0,2}), post_dense.0, PLUS `blocks = conv_blocks +
+        att_blocks` which re-registers every block under a `gnn.blocks.{i}`
+        alias (graph_attention.py:98-139)
+      * writers bond/angle/proper/improper_writer: rep_projector.mlp.0,
+        {bond,angle,torsion}_model.grappa_transformer.transformer.{i}
+        (norm1 + packed-qkv MultiheadAttention + ff.{norm1,linear1,linear2})
+        with the positional-encoding buffer for arity>=3
+        (perm_equiv_transformer.py:121-188), symmetriser.mlp.{i} + the
+        permutations/permutation_prefactors buffers (:318-319), scaler
+        buffers to_k/to_eq (final_layer.py:39-88) or k_mean/k_std +
+        n_periodicity for torsions (interaction_parameters.py:440-470)
+
+    Used by the key-for-key audit test; import_state_dict reports any
+    mismatch against the actual file loudly.
+    """
+    cfg = dict(get_default_model_config())
+    cfg.update(model_config or {})
+    keys = set()
+
+    def linear(name):
+        keys.add(f'{name}.weight')
+        keys.add(f'{name}.bias')
+
+    def ln(name):
+        linear(name)
+
+    linear('gnn.pre_dense.0')
+    n_conv = cfg['gnn_convolutions']
+    block_names = []
+    for i in range(n_conv):
+        block_names.append((f'gnn.conv_blocks.{i}', f'gnn.blocks.{i}', 'conv'))
+    for i in range(cfg['gnn_attentional_layers']):
+        block_names.append((f'gnn.att_blocks.{i}', f'gnn.blocks.{n_conv + i}',
+                            'att'))
+    for base, alias, kind in block_names:
+        for b in (base, alias):
+            ln(f'{b}.layer_norm')
+            if kind == 'att':
+                keys.add(f'{b}.graph_module.fc.weight')
+                linear(f'{b}.head_reducer')
+                ln(f'{b}.interaction_norm')
+                linear(f'{b}.self_interaction.0')
+                linear(f'{b}.self_interaction.2')
+            else:
+                # DGL SAGEConv (mean aggregator): fc_self (no bias) +
+                # fc_neigh (bias); deployed configs have n_conv=0
+                keys.add(f'{b}.graph_module.fc_self.weight')
+                linear(f'{b}.graph_module.fc_neigh')
+                ln(f'{b}.interaction_norm')
+                linear(f'{b}.self_interaction.0')
+    linear('gnn.post_dense.0')
+
+    for writer, _, model_name in _WRITERS:
+        base = f'parameter_writer.{writer}_writer'
+        linear(f'{base}.rep_projector.mlp.0')
+        for i in range(cfg[f'{writer}_transformer_depth']):
+            t = f'{base}.{model_name}.grappa_transformer.transformer.{i}'
+            ln(f'{t}.norm1')
+            keys.add(f'{t}.attn.in_proj_weight')
+            keys.add(f'{t}.attn.in_proj_bias')
+            linear(f'{t}.attn.out_proj')
+            ln(f'{t}.ff.norm1')
+            linear(f'{t}.ff.linear1')
+            linear(f'{t}.ff.linear2')
+        if cfg['positional_encoding'] and writer != 'bond':
+            keys.add(f'{base}.{model_name}.grappa_transformer'
+                     f'.positional_encoding')
+        for i in range(cfg[f'{writer}_symmetriser_depth']):
+            s = f'{base}.{model_name}.symmetriser.mlp.{i}'
+            ln(f'{s}.norm1')
+            linear(f'{s}.linear1')
+            linear(f'{s}.linear2')
+        keys.add(f'{base}.{model_name}.symmetriser.permutations')
+        keys.add(f'{base}.{model_name}.symmetriser.permutation_prefactors')
+        if writer in ('bond', 'angle'):
+            for stat in ('mean_over_std', 'std', 'min_'):
+                keys.add(f'{base}.to_k.{stat}')
+            if writer == 'bond':
+                for stat in ('mean_over_std', 'std', 'min_'):
+                    keys.add(f'{base}.to_eq.{stat}')
+            else:
+                keys.add(f'{base}.to_eq.std_over_max')
+                keys.add(f'{base}.to_eq.max')
+        else:
+            keys.add(f'{base}.k_mean')
+            keys.add(f'{base}.k_std')
+            keys.add(f'{base}.n_periodicity')
+    return keys
+
+
 def export_state_dict(params: Dict, model_config: Dict,
                       stats: Dict = None) -> Dict:
     """flax params -> reference-named torch state_dict.
@@ -157,6 +269,15 @@ def export_state_dict(params: Dict, model_config: Dict,
                         blk['linear1']['bias'])
             _linear_out(sd, f'{sbase}.linear2', blk['linear2']['kernel'],
                         blk['linear2']['bias'])
+        # the reference Symmetriser registers its permutation set and the
+        # (all-ones) prefactors as buffers (perm_equiv_transformer.py:
+        # 318-319) — the published .pth contains them, so the export must too
+        perms = _writer_permutations(writer, cfg)
+        import torch
+        sd[f'{base}.{model_name}.symmetriser.permutations'] = torch.tensor(
+            perms, dtype=torch.int32)
+        sd[f'{base}.{model_name}.symmetriser.permutation_prefactors'] = \
+            torch.ones(len(perms), dtype=torch.float32)
         if stats is not None:
             term = {'bond': 'n2', 'angle': 'n3', 'proper': 'n4',
                     'improper': 'n4_improper'}[writer]
@@ -202,18 +323,31 @@ def stats_from_model(model) -> Dict:
     return stats
 
 
-def import_state_dict(state_dict: Dict, model_config: Dict
-                      ) -> Tuple[Dict, Dict]:
+def import_state_dict(state_dict: Dict, model_config: Dict,
+                      verbose: bool = True) -> Tuple[Dict, Dict]:
     """reference-named torch state_dict -> (flax params, param_statistics).
 
     The returned statistics carry the exact scaler values stored in the
     checkpoint buffers (EPSILON_STD already applied) — build the model with
     make_model(config, stats, eps_applied=True).
+
+    Tolerant loading with a loud report: ALL missing keys are collected and
+    raised together (not just the first); keys present in the file but not
+    consumed are reported (the `gnn.blocks.{i}` aliases are instead verified
+    to equal their att/conv_blocks source); the stored Symmetriser
+    `permutations` buffers are checked against our permutation conventions
+    so a silent symmetry-convention mismatch cannot slip through.
     """
     cfg = dict(get_default_model_config())
     cfg.update(model_config or {})
+    consumed: set = set()
+    missing: list = []
 
     def arr(name):
+        if name not in state_dict:
+            missing.append(name)
+            return np.zeros((1,), np.float32)
+        consumed.add(name)
         v = state_dict[name]
         if hasattr(v, 'numpy'):
             v = v.detach().cpu().numpy()
@@ -296,11 +430,21 @@ def import_state_dict(state_dict: Dict, model_config: Dict
             k_mos = arr(f'{base}.to_k.mean_over_std').reshape(-1)
             stats['mean'][f'{term}_k'] = k_mos * k_std
             stats['std'][f'{term}_k'] = k_std
+            if f'{base}.to_k.min_' in state_dict:
+                consumed.add(f'{base}.to_k.min_')
+                if float(np.asarray(_np(state_dict[f'{base}.to_k.min_']))):
+                    raise ValueError(f'{base}.to_k.min_ != 0 is unsupported')
             if writer == 'bond':
                 eq_std = arr(f'{base}.to_eq.std').reshape(-1)
                 eq_mos = arr(f'{base}.to_eq.mean_over_std').reshape(-1)
                 stats['mean'][f'{term}_eq'] = eq_mos * eq_std
                 stats['std'][f'{term}_eq'] = eq_std
+                if f'{base}.to_eq.min_' in state_dict:
+                    consumed.add(f'{base}.to_eq.min_')
+                    if float(np.asarray(_np(
+                            state_dict[f'{base}.to_eq.min_']))):
+                        raise ValueError(
+                            f'{base}.to_eq.min_ != 0 is unsupported')
             else:
                 som = arr(f'{base}.to_eq.std_over_max').reshape(-1)
                 mx = arr(f'{base}.to_eq.max').reshape(-1)
@@ -309,5 +453,78 @@ def import_state_dict(state_dict: Dict, model_config: Dict
         else:
             stats['mean'][f'{term}_k'] = arr(f'{base}.k_mean').reshape(-1)
             stats['std'][f'{term}_k'] = arr(f'{base}.k_std').reshape(-1)
+            if f'{base}.n_periodicity' in state_dict:
+                consumed.add(f'{base}.n_periodicity')
+                stored = int(np.asarray(_np(state_dict[f'{base}.n_periodicity'])))
+                want = cfg[f'n_periodicity_{writer}']
+                if stored != want:
+                    raise ValueError(
+                        f'{base}.n_periodicity in the checkpoint is {stored} '
+                        f'but the config says {want}')
+
+        # convention audit: the stored positional encoding is a constant —
+        # verify it matches the reference convention and consume it
+        ekey = f'{base}.{model_name}.grappa_transformer.positional_encoding'
+        if ekey in state_dict:
+            consumed.add(ekey)
+            stored = np.asarray(_np(state_dict[ekey]), np.float32).tolist()
+            if writer == 'improper' and cfg.get('wrong_symmetry'):
+                want = [[0.0], [0.0], [1.0], [0.0]]
+            elif writer == 'angle':
+                want = [[0.0], [1.0], [0.0]]
+            else:
+                want = [[0.0], [1.0], [1.0], [0.0]]
+            if stored != want:
+                raise ValueError(
+                    f'{ekey}: stored positional encoding {stored} does not '
+                    f'match the expected {want}')
+
+        # convention audit: the stored permutation set must be OUR set
+        pkey = f'{base}.{model_name}.symmetriser.permutations'
+        if pkey in state_dict:
+            consumed.add(pkey)
+            consumed.add(f'{base}.{model_name}'
+                         f'.symmetriser.permutation_prefactors')
+            stored = np.asarray(_np(state_dict[pkey])).tolist()
+            want = _writer_permutations(writer, cfg)
+            if sorted(stored) != sorted(want):
+                raise ValueError(
+                    f'{pkey}: stored permutation set {stored} does not match '
+                    f'the expected {want} — symmetry conventions differ, a '
+                    f'silent load would produce wrong parameters')
+
+    if missing:
+        raise KeyError(
+            f'{len(missing)} expected keys are missing from the state_dict '
+            f'(reference contract: expected_reference_keys()): {missing}')
+
+    # `gnn.blocks.{i}` are registration aliases of conv/att_blocks
+    # (graph_attention.py:131) — verify them instead of consuming
+    n_conv = cfg['gnn_convolutions']
+    for key in list(state_dict):
+        if not key.startswith('gnn.blocks.'):
+            continue
+        i, tail = key[len('gnn.blocks.'):].split('.', 1)
+        i = int(i)
+        src = (f'gnn.conv_blocks.{i}.{tail}' if i < n_conv
+               else f'gnn.att_blocks.{i - n_conv}.{tail}')
+        if src in state_dict:
+            a, b = _np(state_dict[key]), _np(state_dict[src])
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                raise ValueError(
+                    f'alias {key} differs from {src} — corrupt checkpoint?')
+            consumed.add(key)
+
+    unused = sorted(set(state_dict) - consumed)
+    if unused and verbose:
+        import warnings
+        warnings.warn(
+            f'import_state_dict: {len(unused)} keys in the checkpoint were '
+            f'not consumed (ignored): {unused[:40]}'
+            + (' ...' if len(unused) > 40 else ''))
 
     return {'params': params}, stats
+
+
+def _np(v):
+    return v.detach().cpu().numpy() if hasattr(v, 'numpy') else np.asarray(v)

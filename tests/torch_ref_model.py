@@ -281,8 +281,17 @@ class Symmetriser(nn.Module):
     def __init__(self, in_feats, out_feats, permutations, hidden_feats,
                  n_layers):
         super().__init__()
-        self.permutations = [list(p) for p in permutations]
-        n_seq = len(self.permutations[0])
+        self.permutations_list = [list(p) for p in permutations]
+        # the reference registers the permutation set and its prefactors as
+        # buffers (perm_equiv_transformer.py:318-319), so the published .pth
+        # contains them — mirror that for key-for-key state_dict parity
+        self.register_buffer('permutations',
+                             torch.tensor(self.permutations_list,
+                                          dtype=torch.int32))
+        self.register_buffer('permutation_prefactors',
+                             torch.ones(len(self.permutations_list),
+                                        dtype=torch.float32))
+        n_seq = len(self.permutations_list[0])
         layers = [FeedForwardLayer(
             in_feats * n_seq, hidden_feats,
             hidden_feats if n_layers > 1 else out_feats, skip=False)]
@@ -295,7 +304,7 @@ class Symmetriser(nn.Module):
 
     def forward(self, x):                 # (S, T, F)
         outs = 0
-        for p in self.permutations:
+        for p in self.permutations_list:
             flat = x[p].transpose(0, 1).reshape(x.shape[1], -1)
             outs = outs + self.mlp(flat)
         return outs                        # (T, out)
