@@ -77,6 +77,43 @@ def shard_batch_by_atoms(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
     return jax.device_put(batch, shardings)
 
 
+def make_atom_sharded_train_step(model, tx, mesh: Mesh) -> Callable:
+    """Full TRAINING step (grad-of-grad loss through the forces) on an
+    atom-sharded batch: (params, opt_state, batch, weights, lr, rng) ->
+    (params, opt_state, loss, aux).
+
+    Params/optimizer state are replicated; the batch is sharded by
+    shard_batch_by_atoms. GSPMD partitions the double-backward along the
+    node/tuple axes and inserts the halo-exchange/psum collectives; the
+    gradient trees are constrained back to replicated so the optimizer
+    update is identical on every device. This is the prescribed path for
+    molecules past the single-chip HBM limit (~50k atoms, PERF.md) —
+    equality with the single-device step is tested on the 8-device CPU
+    mesh at 5k atoms (tests/test_parallel.py)."""
+    import optax
+
+    from grappa_tpu.train.loss import molwise_loss
+
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def step(params, opt_state, batch: GraphBatch, weights, lr, rng):
+        def loss_fn(p):
+            pred = model.apply(p, batch, deterministic=False,
+                               rngs={'dropout': rng})
+            return molwise_loss(batch, pred, weights)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.with_sharding_constraint(
+            grads, jax.tree.map(lambda _: rep, grads))
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss, aux
+
+    return step
+
+
 def make_atom_sharded_forward(model, mesh: Mesh) -> Callable:
     """jitted (params, sharded_batch) -> (energy (M,C), gradient (N,C,3)).
 

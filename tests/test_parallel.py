@@ -251,3 +251,45 @@ def test_atom_sharded_forward_matches_single_device():
                       n_confs=4)
     with pytest.raises(ValueError, match='divisible'):
         shard_batch_by_atoms(collate([g], pad=odd_pad), mesh)
+
+
+def test_atom_sharded_train_step_matches_single_device():
+    """Full TRAINING step (grad-of-grad through the forces) on a 5k-atom
+    molecule sharded over the 8-device mesh == the single-device step:
+    loss, updated params, and optimizer state. This is the prescribed path
+    past the ~50k-atom single-chip HBM limit (PERF.md)."""
+    import optax as _optax
+
+    from grappa_tpu.parallel.sp import (atom_sharded_pad_spec,
+                                        make_atom_sharded_train_step,
+                                        shard_batch_by_atoms)
+
+    mesh = make_mesh(N_DEV)
+    g = MolGraph.from_moldata(make_moldata(seed=11, n_confs=2, n_atoms=5000))
+    pad = atom_sharded_pad_spec([g], 2, mesh)
+    batch = collate([g], pad=pad)
+    model = make_model(get_small_model_config())
+    params = model.init(jax.random.key(0), batch)
+    tx = _optax.chain(_optax.clip_by_global_norm(1e9), _optax.scale(-1.0))
+    opt_state = tx.init(params)
+    weights = _weights(batch.num_mols)
+    lr = jnp.float32(1e-3)
+    rng = jax.random.key(3)
+
+    ref_step = make_train_step(model, tx, donate=False)
+    ref_params, _, ref_loss, ref_aux = ref_step(
+        params, opt_state, batch, weights, lr, rng)
+
+    sharded = shard_batch_by_atoms(batch, mesh)
+    sp_step = make_atom_sharded_train_step(model, tx, mesh)
+    sp_params, _, sp_loss, sp_aux = sp_step(
+        params, opt_state, sharded, weights, lr, rng)
+
+    # f32 reduction order differs across 8 shards; at 5k atoms the energy
+    # sums are ~1e6, so a few 1e-4 relative is the expected noise floor
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sp_aux['gradient_mse']),
+                               np.asarray(ref_aux['gradient_mse']), rtol=5e-3)
+    for a, b in zip(jax.tree.leaves(sp_params), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
