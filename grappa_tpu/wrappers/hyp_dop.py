@@ -16,26 +16,14 @@ from __future__ import annotations
 import importlib
 from typing import Dict, List, Set, Tuple
 
-# atom-name bond templates (intra-residue)
-HYP_BONDS: List[Tuple[str, str]] = [
-    ('N', 'CA'), ('N', 'CD'), ('CA', 'C'), ('CA', 'CB'), ('CA', 'HA'),
-    ('C', 'O'), ('CB', 'CG'), ('CB', 'HB2'), ('CB', 'HB3'),
-    ('CG', 'CD'), ('CG', 'OD1'), ('CG', 'HG'), ('OD1', 'HD1'),
-    ('CD', 'HD22'), ('CD', 'HD23'),
-]
+# atom-name bond templates (intra-residue), derived from the residue
+# template data of the star force field (reference amber99sbildn-star_.xml
+# residue entries; atom naming matches the reference exactly)
+from grappa_tpu.wrappers.star_forcefield import residue_bond_templates
 
-DOP_BONDS: List[Tuple[str, str]] = [
-    ('N', 'CA'), ('N', 'H'), ('CA', 'C'), ('CA', 'CB'), ('CA', 'HA'),
-    ('C', 'O'), ('CB', 'CG'), ('CB', 'HB2'), ('CB', 'HB3'),
-    ('CG', 'CD1'), ('CG', 'CD2'), ('CD1', 'CE1'), ('CD1', 'HD1'),
-    ('CD2', 'CE2'), ('CD2', 'HD2'), ('CE1', 'CZ'), ('CE2', 'CZ'),
-    ('CE1', 'OE1'), ('CE2', 'OE2'), ('OE1', 'HE1'), ('OE2', 'HE2'),
-]
-
-RESIDUE_BONDS: Dict[str, List[Tuple[str, str]]] = {
-    'HYP': HYP_BONDS,
-    'DOP': DOP_BONDS,
-}
+RESIDUE_BONDS: Dict[str, List[Tuple[str, str]]] = residue_bond_templates()
+HYP_BONDS: List[Tuple[str, str]] = RESIDUE_BONDS['HYP']
+DOP_BONDS: List[Tuple[str, str]] = RESIDUE_BONDS['DOP']
 
 
 def _require_openmm():

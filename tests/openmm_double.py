@@ -435,6 +435,229 @@ class Topology:
         return len(self._atoms)
 
 
+
+
+# ---------------------------------------------------------------------------
+# PDBFile + ForceField (XML template matching) — enough to execute the
+# star-forcefield machinery (grappa_tpu/wrappers/star_forcefield.py):
+# get_openmm_forcefield('amber99sbildn*') -> createSystem on a PDB-derived
+# topology. Mirrors openmm behavior: PDBFile bonds standard residues from a
+# built-in library and leaves unknown residues (HYP/DOP) unbonded;
+# ForceField matches residue templates by atom-name set and raises when no
+# template fits. 'amber99sbildn.xml' resolves to a built-in minimal
+# standard-residue library (ACE/NME/ALA/GLY) with amber-like classes.
+
+_ELEMENT_Z = {'H': 1, 'C': 6, 'N': 7, 'O': 8, 'S': 16, 'P': 15}
+
+# minimal standard-residue library standing in for openmm's amber99sbildn:
+# (atom name, class, element, mass, charge)
+_STD_RESIDUES = {
+    'ACE': [('HH31', 'HC', 'H', 1.008, 0.1123), ('CH3', 'CT', 'C', 12.01, -0.3662),
+            ('HH32', 'HC', 'H', 1.008, 0.1123), ('HH33', 'HC', 'H', 1.008, 0.1123),
+            ('C', 'C', 'C', 12.01, 0.5972), ('O', 'O', 'O', 16.00, -0.5679)],
+    'NME': [('N', 'N', 'N', 14.01, -0.4157), ('H', 'H', 'H', 1.008, 0.2719),
+            ('CH3', 'CT', 'C', 12.01, -0.149), ('HH31', 'H1', 'H', 1.008, 0.0976),
+            ('HH32', 'H1', 'H', 1.008, 0.0976), ('HH33', 'H1', 'H', 1.008, 0.0976)],
+    'ALA': [('N', 'N', 'N', 14.01, -0.4157), ('H', 'H', 'H', 1.008, 0.2719),
+            ('CA', 'CT', 'C', 12.01, 0.0337), ('HA', 'H1', 'H', 1.008, 0.0823),
+            ('CB', 'CT', 'C', 12.01, -0.1825), ('HB1', 'HC', 'H', 1.008, 0.0603),
+            ('HB2', 'HC', 'H', 1.008, 0.0603), ('HB3', 'HC', 'H', 1.008, 0.0603),
+            ('C', 'C', 'C', 12.01, 0.5973), ('O', 'O', 'O', 16.00, -0.5679)],
+}
+_STD_BONDS = {
+    'ACE': [('HH31', 'CH3'), ('CH3', 'HH32'), ('CH3', 'HH33'), ('CH3', 'C'),
+            ('C', 'O')],
+    'NME': [('N', 'H'), ('N', 'CH3'), ('CH3', 'HH31'), ('CH3', 'HH32'),
+            ('CH3', 'HH33')],
+    'ALA': [('N', 'H'), ('N', 'CA'), ('CA', 'HA'), ('CA', 'CB'),
+            ('CB', 'HB1'), ('CB', 'HB2'), ('CB', 'HB3'), ('CA', 'C'),
+            ('C', 'O')],
+}
+# LJ by class (sigma nm, epsilon kJ/mol), amber-like
+_STD_LJ = {
+    'C': (3.39967e-01, 3.59824e-01), 'CT': (3.39967e-01, 4.57730e-01),
+    'CA': (3.39967e-01, 3.59824e-01), 'N': (3.25000e-01, 7.11280e-01),
+    'O': (2.95992e-01, 8.78640e-01), 'OH': (3.06647e-01, 8.80314e-01),
+    'H': (1.06908e-01, 6.56888e-02), 'H1': (2.47135e-01, 6.56888e-02),
+    'HC': (2.64953e-01, 6.56888e-02), 'HA': (2.59964e-01, 6.27600e-02),
+    'HO': (0.0, 0.0),
+}
+# class-pair harmonic bonds (r0 nm, k kJ/mol/nm^2) with an element fallback
+_STD_BOND_PARAMS = {
+    frozenset(('C', 'O')): (0.1229, 476976.0),
+    frozenset(('C', 'N')): (0.1335, 410032.0),
+    frozenset(('C', 'CT')): (0.1522, 265265.6),
+    frozenset(('CT', 'CT')): (0.1526, 259408.0),
+    frozenset(('CT', 'N')): (0.1449, 282001.6),
+    frozenset(('CT', 'OH')): (0.1410, 267776.0),
+    frozenset(('OH', 'HO')): (0.0960, 462750.4),
+    frozenset(('CA', 'CA')): (0.1400, 392459.2),
+    frozenset(('CT', 'CA')): (0.1510, 265265.6),
+    frozenset(('C', 'CA')): (0.1409, 392459.2),
+    frozenset(('CA', 'OH')): (0.1364, 376560.0),
+    frozenset(('C', 'OH')): (0.1364, 376560.0),
+}
+_H_BOND = (0.1090, 284512.0)
+
+
+class PDBFile:
+    """Minimal PDB parser: ATOM/HETATM records -> Topology + positions.
+
+    Bonds: intra-residue bonds for residues in the built-in standard
+    library plus peptide C-N links between consecutive STANDARD residues;
+    unknown residues (HYP/DOP) get no bonds — exactly the situation the
+    star force field's topology repair exists for."""
+
+    def __init__(self, path):
+        self.topology = Topology()
+        self.positions = []
+        chain = None
+        chain_id = None
+        residue = None
+        res_key = None
+        for line in open(path):
+            if not line.startswith(('ATOM', 'HETATM')):
+                continue
+            name = line[12:16].strip()
+            res_name = line[17:20].strip()
+            cid = line[21]
+            res_seq = line[22:26].strip()
+            x, y, z = (float(line[30:38]), float(line[38:46]),
+                       float(line[46:54]))
+            elem = line[76:78].strip() or name[0]
+            if chain is None or cid != chain_id:
+                chain = self.topology.addChain(cid)
+                chain_id = cid
+                res_key = None
+            if res_key != (cid, res_seq):
+                residue = self.topology.addResidue(res_name, chain, res_seq)
+                res_key = (cid, res_seq)
+            znum = _ELEMENT_Z.get(elem.upper()[:1], 6)
+            self.topology.addAtom(name, Element.getByAtomicNumber(znum),
+                                  residue, None)
+            self.positions.append((x / 10.0, y / 10.0, z / 10.0))  # nm
+        # standard-residue bonds + peptide links
+        for ch in self.topology.chains():
+            residues = list(ch.residues())
+            for i, res in enumerate(residues):
+                atoms = {a.name: a for a in res.atoms()}
+                for n1, n2 in _STD_BONDS.get(res.name.upper(), []):
+                    if n1 in atoms and n2 in atoms:
+                        self.topology.addBond(atoms[n1], atoms[n2])
+                if i > 0 and res.name.upper() in _STD_BONDS \
+                        and residues[i - 1].name.upper() in _STD_BONDS:
+                    prev = {a.name: a for a in residues[i - 1].atoms()}
+                    if 'C' in prev and 'N' in atoms:
+                        self.topology.addBond(prev['C'], atoms['N'])
+
+
+class ForceField:
+    """XML residue-template force field: template matching by residue name
+    + atom-name set; charges/LJ per type; class-based harmonic bonds,
+    connectivity-derived angles/torsions with generic amber-like values."""
+
+    def __init__(self, *files):
+        # type -> (class, element, mass); type -> (charge, sigma, epsilon)
+        self.types: Dict[str, tuple] = {}
+        self.nonbonded: Dict[str, tuple] = {}
+        # residue name -> [(atom name, type)]
+        self.residues: Dict[str, list] = {}
+        for f in files:
+            if str(f).endswith('amber99sbildn.xml'):
+                self._load_std()
+            else:
+                self._load_xml(f)
+
+    def _load_std(self):
+        for res, atoms in _STD_RESIDUES.items():
+            entries = []
+            for name, klass, element, mass, charge in atoms:
+                t = f'std-{res}-{name}'
+                self.types[t] = (klass, element, mass)
+                self.nonbonded[t] = (charge,) + _STD_LJ[klass]
+                entries.append((name, t))
+            self.residues[res] = entries
+
+    def _load_xml(self, path):
+        import xml.etree.ElementTree as ET
+        root = ET.parse(str(path)).getroot()
+        for t in root.findall('./AtomTypes/Type'):
+            self.types[t.get('name')] = (t.get('class'), t.get('element'),
+                                         float(t.get('mass')))
+        for t in root.findall('./NonbondedForce/Atom'):
+            self.nonbonded[t.get('type')] = (
+                float(t.get('charge')), float(t.get('sigma')),
+                float(t.get('epsilon')))
+        for res in root.findall('./Residues/Residue'):
+            self.residues[res.get('name')] = [
+                (a.get('name'), a.get('type'))
+                for a in res.findall('Atom')]
+
+    def createSystem(self, topology, **kwargs):
+        system = System()
+        nonbonded = NonbondedForce()
+        atom_class = {}
+        for res in topology.residues():
+            template = self.residues.get(res.name.upper())
+            res_atoms = list(res.atoms())
+            if template is None or (
+                    {a.name for a in res_atoms} != {n for n, _ in template}):
+                raise ValueError(
+                    f'No template found for residue {res.name} '
+                    f'(atoms {sorted(a.name for a in res_atoms)})')
+            by_name = dict(template)
+            for atom in res_atoms:
+                t = by_name[atom.name]
+                klass, _elem, mass = self.types[t]
+                charge, sigma, eps = self.nonbonded[t]
+                system.addParticle(mass)
+                nonbonded.addParticle(charge, sigma, eps)
+                atom_class[atom.index] = klass
+
+        bonds = [(a.index, b.index) for a, b in topology.bonds()]
+        neighbor: Dict[int, set] = {}
+        for i, j in bonds:
+            neighbor.setdefault(i, set()).add(j)
+            neighbor.setdefault(j, set()).add(i)
+
+        bond_force = HarmonicBondForce()
+        for i, j in bonds:
+            ci, cj = atom_class[i], atom_class[j]
+            if ci.startswith('H') or cj.startswith('H'):
+                r0, k = _H_BOND
+            else:
+                r0, k = _STD_BOND_PARAMS.get(frozenset((ci, cj)),
+                                             (0.1500, 250000.0))
+            bond_force.addBond(i, j, r0, k)
+        system.addForce(bond_force)
+
+        angle_force = HarmonicAngleForce()
+        for j in sorted(neighbor):
+            ns = sorted(neighbor[j])
+            for ai in range(len(ns)):
+                for bi in range(ai + 1, len(ns)):
+                    angle_force.addAngle(ns[ai], j, ns[bi],
+                                         1.9111355, 400.0)
+        system.addForce(angle_force)
+
+        torsion_force = PeriodicTorsionForce()
+        seen = set()
+        for j, k in bonds:
+            for i in neighbor[j] - {k}:
+                for l in neighbor[k] - {j}:
+                    if i == l:
+                        continue
+                    key = (i, j, k, l) if (i, j, k, l) < (l, k, j, i) \
+                        else (l, k, j, i)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    torsion_force.addTorsion(*key, 3, 0.0, 0.6508444)
+        system.addForce(torsion_force)
+        system.addForce(nonbonded)
+        return system
+
+
 # ---------------------------------------------------------------------------
 # module assembly
 def _module(name: str) -> types.ModuleType:
@@ -471,7 +694,7 @@ def build_modules():
         setattr(unit, name, u)
 
     app = _module('openmm.app')
-    for cls in (Topology, Chain, Residue, Atom, Element):
+    for cls in (Topology, Chain, Residue, Atom, Element, PDBFile, ForceField):
         setattr(app, cls.__name__, cls)
 
     openmm.unit = unit

@@ -396,3 +396,102 @@ def test_hyp_dop_bond_repair():
 
     # idempotent: nothing added twice
     assert add_nonstandard_residue_bonds(top) == 0
+
+
+# ---------------------------------------------------------------------------
+# amber99sbildn* (star) force field machinery: HYP/DOP end-to-end
+def _pdb_line(serial, name, res, chain, seq, xyz, element):
+    pname = f' {name}' if len(name) < 4 else name
+    return (f'ATOM  {serial:5d} {pname:<4s} {res:<3s} {chain}{seq:4d}    '
+            f'{xyz[0]:8.3f}{xyz[1]:8.3f}{xyz[2]:8.3f}  1.00  0.00'
+            f'          {element:>2s}')
+
+
+def _capped_hyp_pdb():
+    """ACE-HYP-NME with the reference residue atom naming."""
+    residues = [
+        ('ACE', ['HH31', 'CH3', 'HH32', 'HH33', 'C', 'O']),
+        ('HYP', ['N', 'CD2', 'HD21', 'HD22', 'CG', 'HG', 'OD1', 'HD1',
+                 'CB', 'HB1', 'HB2', 'CA', 'HA', 'C', 'O']),
+        ('NME', ['N', 'H', 'CH3', 'HH31', 'HH32', 'HH33']),
+    ]
+    lines, serial = [], 1
+    rng = np.random.default_rng(0)
+    for seq, (res, names) in enumerate(residues, start=1):
+        for name in names:
+            element = name[0]
+            xyz = rng.uniform(0, 20, 3)
+            lines.append(_pdb_line(serial, name, res, 'A', seq, xyz, element))
+            serial += 1
+    return '\n'.join(lines) + '\nEND\n'
+
+
+def test_star_forcefield_hyp_peptide_end_to_end():
+    """topology_from_pdb -> get_openmm_forcefield('amber99sbildn*') ->
+    createSystem (repairs the unbonded HYP residue) -> parametrize_system.
+    Reference: openmm_utils.py:291-340 + amber99sbildn-star_.xml."""
+    import jax
+    import openmm.unit as u
+
+    from grappa_tpu.data.graph_batch import MolGraph, collate
+    from grappa_tpu.models.grappa_model import (get_small_model_config,
+                                                make_model)
+    from grappa_tpu.wrappers.openmm_wrapper import (OpenmmGrappa,
+                                                    molecule_from_openmm)
+    from grappa_tpu.wrappers.star_forcefield import (
+        HYP_ATOMS, HYP_BOND_IDXS, get_openmm_forcefield, topology_from_pdb)
+
+    top = topology_from_pdb(_capped_hyp_pdb())
+    assert top.getNumAtoms() == 27
+    # PDBFile leaves HYP unbonded: only ACE(5) + NME(5) internal bonds
+    n_bonds_before = sum(1 for _ in top.bonds())
+    assert n_bonds_before == 10
+
+    # the plain force field cannot type HYP at all
+    with pytest.raises(ValueError, match='HYP'):
+        get_openmm_forcefield('amber99sbildn').createSystem(top)
+
+    ff = get_openmm_forcefield('amber99sbildn*')
+    system = ff.createSystem(top)
+    # repair added the 15 intra-HYP template bonds + 2 peptide links
+    n_bonds_after = sum(1 for _ in top.bonds())
+    assert n_bonds_after == n_bonds_before + len(HYP_BOND_IDXS) + 2
+    assert system.getNumParticles() == 27
+
+    # charges come from the first-party star templates (net-zero residue)
+    import openmm
+    nb = next(f for f in system.getForces()
+              if isinstance(f, openmm.NonbondedForce))
+    hyp_atoms = {a.name: a.index for a in list(top.residues())[1].atoms()}
+    q_n = nb.getParticleParameters(hyp_atoms['N'])[0]
+    assert abs(q_n.value_in_unit(u.elementary_charge) - (-0.25480)) < 1e-6
+    total = sum(nb.getParticleParameters(i)[0].value_in_unit(
+        u.elementary_charge) for i in hyp_atoms.values())
+    assert abs(total) < 1e-6
+    assert abs(sum(a[4] for a in HYP_ATOMS)) < 1e-9   # template integrity
+
+    # full grappa parametrization of the repaired system
+    mol = molecule_from_openmm(system, top)
+    model = make_model(get_small_model_config())
+    params = model.init(jax.random.key(0),
+                        collate([MolGraph.from_molecule(mol)], n_confs=1))
+    out = OpenmmGrappa(model, params).parametrize_system(
+        system, top, check_eq_values=False)
+    assert out is system
+    bond_force = next(f for f in system.getForces()
+                      if isinstance(f, openmm.HarmonicBondForce))
+    assert bond_force.getNumBonds() == n_bonds_after
+
+
+def test_dop_template_integrity():
+    from grappa_tpu.wrappers.star_forcefield import (DOP_ATOMS, DOP_BOND_IDXS,
+                                                     build_star_patch_xml)
+    import xml.etree.ElementTree as ET
+    assert abs(sum(a[4] for a in DOP_ATOMS)) < 1e-9     # net-zero residue
+    # every bond index in range; every atom appears in >= 1 bond
+    n = len(DOP_ATOMS)
+    touched = {i for b in DOP_BOND_IDXS for i in b}
+    assert touched == set(range(n))
+    root = ET.fromstring(build_star_patch_xml())        # well-formed XML
+    assert {r.get('name') for r in root.findall('./Residues/Residue')} == \
+        {'HYP', 'DOP'}
