@@ -231,6 +231,71 @@ def cmd_release(argv):
                       'release': args.release_tag}))
 
 
+def cmd_dataset(argv):
+    p = argparse.ArgumentParser(
+        prog='grappa_dataset',
+        description='Dataset-creation tools (reference dataset_creation/ '
+                    'counterparts): stamp charge-model features, convert '
+                    'MolData trees, build peptide datasets from PDB npz '
+                    'archives.')
+    sub = p.add_subparsers(dest='action', required=True)
+
+    pa = sub.add_parser('add-charge-model',
+                        help='stamp the charge-model one-hot onto a saved '
+                             'dataset directory (in place)')
+    pa.add_argument('-d', '--dataset-dir', required=True)
+    pa.add_argument('-c', '--charge-model', default=None,
+                    choices=[None, 'am1BCC', 'amber99'],
+                    help='default: infer from the directory name')
+    pa.add_argument('--keep-existing', action='store_true')
+
+    pm = sub.add_parser('from-moldata-dirs',
+                        help='folder/<mol>/moldata.npz tree (radical data '
+                             'layout) -> flat MolData npz dataset')
+    pm.add_argument('-s', '--source', required=True)
+    pm.add_argument('-t', '--target', required=True)
+    pm.add_argument('-c', '--charge-model', default='amber99')
+    pm.add_argument('--openmm-ff', default=None,
+                    help='recompute classical energies with this force '
+                         'field (e.g. amber99sbildn or amber99sbildn*)')
+    pm.add_argument('--skip', nargs='+', default=[])
+
+    pp = sub.add_parser('from-pdb-npz',
+                        help='spice-style per-molecule npz files -> MolData '
+                             'dataset (openmm force-field typing)')
+    pp.add_argument('-s', '--source', required=True)
+    pp.add_argument('-t', '--target', required=True)
+    pp.add_argument('-f', '--forcefield', default='amber99sbildn*')
+    pp.add_argument('--skip-residues', nargs='+', default=[])
+    pp.add_argument('--no-params', action='store_true',
+                    help='store NaN classical parameters (param loss off)')
+
+    args = p.parse_args(argv)
+    from grappa_tpu.data import dataset_creation as dc
+    if args.action == 'add-charge-model':
+        n = dc.add_charge_model_feature(args.dataset_dir, args.charge_model,
+                                        overwrite=not args.keep_existing)
+        print(json.dumps({'updated': n}))
+    elif args.action == 'from-moldata-dirs':
+        ff = None
+        if args.openmm_ff:
+            from grappa_tpu.wrappers.star_forcefield import (
+                get_openmm_forcefield)
+            ff = get_openmm_forcefield(args.openmm_ff)
+        n = dc.moldata_dirs_to_dataset(
+            args.source, args.target, charge_model=args.charge_model,
+            openmm_forcefield=ff,
+            forcefield_name=(args.openmm_ff or 'openmm_ff').rstrip('*'),
+            skip=args.skip)
+        print(json.dumps({'written': n, 'target': args.target}))
+    else:
+        stats = dc.peptide_dataset_from_pdb_npz(
+            args.source, args.target, forcefield=args.forcefield,
+            skip_residues=args.skip_residues,
+            with_params=not args.no_params)
+        print(json.dumps({**stats, 'target': args.target}))
+
+
 def cmd_import_ref(argv):
     p = argparse.ArgumentParser(
         prog='grappa_import_ref',
@@ -293,6 +358,7 @@ COMMANDS = {
     'gmx': cmd_gmx,
     'release': cmd_release,
     'import-ref': cmd_import_ref,
+    'dataset': cmd_dataset,
 }
 
 

@@ -144,6 +144,15 @@ class Dataset:
     @classmethod
     def load(cls, path: Union[str, Path]) -> 'Dataset':
         path = Path(path)
+        if not (path / 'manifest.json').exists():
+            # flat directory of per-molecule npz files (the published
+            # MolData layout and the dataset_creation tool output)
+            files = sorted(path.glob('*.npz'))
+            if not files:
+                raise FileNotFoundError(
+                    f'{path}: neither manifest.json nor *.npz files')
+            entries = [MolData.load(f) for f in files]
+            return cls(entries, [path.name] * len(entries))
         with open(path / 'manifest.json') as f:
             manifest = json.load(f)
         entries, names = [], []

@@ -169,3 +169,56 @@ class MolData:
     def load(cls, path: Union[str, Path]) -> 'MolData':
         with np.load(path, allow_pickle=False) as data:
             return cls.from_dict(dict(data))
+
+    @classmethod
+    def from_smiles(cls, mapped_smiles: str, xyz: np.ndarray,
+                    energy: np.ndarray, gradient: Optional[np.ndarray] = None,
+                    partial_charges: Optional[np.ndarray] = None,
+                    forcefield: str = 'openff_unconstrained-2.0.0.offxml',
+                    mol_id: Optional[str] = None,
+                    charge_model: str = 'am1BCC',
+                    allow_nan_params: bool = False) -> 'MolData':
+        """MolData from a mapped SMILES + an openff SMIRNOFF force field
+        (reference: MolData.from_smiles, MolData.py:521-573). The force
+        field provides the interaction tuples, classical parameters,
+        nonbonded reference energies and — when partial_charges is None —
+        the charges. openff-gated; executed via the test doubles.
+        """
+        from grappa_tpu.data.parameters import Parameters
+        from grappa_tpu.wrappers.openff_utils import (
+            get_is_aromatic, get_openmm_system,
+            get_sp_hybridization_encoding)
+        from grappa_tpu.wrappers.openmm_wrapper import (
+            moldata_from_openmm_system)
+
+        system, topology, openff_mol = get_openmm_system(
+            mapped_smiles, openff_forcefield=forcefield,
+            partial_charges=partial_charges)
+        try:
+            md = moldata_from_openmm_system(
+                system, topology, xyz=xyz, energy=energy, gradient=gradient,
+                mol_id=mol_id or mapped_smiles, charge_model=charge_model,
+                ff_name=forcefield)
+        except (RuntimeError, ValueError):
+            # classical parameters unobtainable: NaN placeholders if allowed
+            # (reference MolData.py:541 allow_nan_params semantics)
+            if not allow_nan_params:
+                raise
+            from grappa_tpu.wrappers.openmm_wrapper import (
+                molecule_from_openmm)
+            molecule = molecule_from_openmm(system, topology,
+                                            charge_model=charge_model)
+            gradient = (np.zeros_like(xyz) if gradient is None
+                        else np.asarray(gradient, np.float32))
+            e = np.asarray(energy, np.float32)
+            md = cls(molecule=molecule, xyz=np.asarray(xyz, np.float32),
+                     energy=e, gradient=gradient,
+                     energy_ref=e - e.mean(), gradient_ref=gradient,
+                     mol_id=mol_id or mapped_smiles,
+                     classical_parameters=Parameters.get_nan_params(molecule))
+        md.mapped_smiles = mapped_smiles
+        md.molecule.additional_features['sp_hybridization'] = \
+            get_sp_hybridization_encoding(openff_mol)
+        md.molecule.additional_features['is_aromatic'] = \
+            get_is_aromatic(openff_mol)
+        return md

@@ -41,6 +41,10 @@ class FFQuantity:
 
 
 class _FFUnit:
+    # defer numpy ufuncs so ndarray * unit reaches __rmul__ (one
+    # FFQuantity wrapping the whole array, like pint)
+    __array_ufunc__ = None
+
     def __rmul__(self, other):        # np.asarray(x) * elementary_charge
         return FFQuantity(other)
 
@@ -101,7 +105,15 @@ class OFFMolecule:
     def from_mapped_smiles(cls, smiles: str,
                            allow_undefined_stereo: bool = False):
         zs, bonds, _ = parse_mapped_smiles(smiles)
-        return cls(zs, bonds)
+        mol = cls(zs, bonds)
+        mol._source_smiles = smiles
+        return mol
+
+    def to_topology(self):
+        return _OFFTopology(self)
+
+    def to_smiles(self, mapped: bool = True):
+        return getattr(self, '_source_smiles', None)
 
     # -- derived connectivity ------------------------------------------
     def _neighbors(self):
@@ -148,6 +160,110 @@ class OFFMolecule:
         return _RDMol(atoms)
 
 
+
+
+class _OFFTopology:
+    def __init__(self, molecule):
+        self._molecule = molecule
+
+    def to_openmm(self):
+        """openmm(double) Topology: one MOL residue, X{i} atom names."""
+        from openmm.app import Element, Topology
+        top = Topology()
+        chain = top.addChain('A')
+        res = top.addResidue('MOL', chain)
+        atoms = [top.addAtom(f'X{i}', Element.getByAtomicNumber(
+                     a.atomic_number), res)
+                 for i, a in enumerate(self._molecule.atoms)]
+        for b in self._molecule.bonds:
+            top.addBond(atoms[b.atom1_index], atoms[b.atom2_index])
+        return top
+
+
+# element-pair harmonic bond lengths (nm); generic amber-like stiffness
+_BOND_R0 = {
+    frozenset((6, 6)): 0.1526, frozenset((6, 7)): 0.1449,
+    frozenset((6, 8)): 0.1410, frozenset((6, 1)): 0.1090,
+    frozenset((7, 1)): 0.1010, frozenset((8, 1)): 0.0960,
+    frozenset((7, 8)): 0.1400, frozenset((8, 8)): 0.1480,
+}
+
+
+class SmirnoffForceField:
+    """openff.toolkit.typing.engines.smirnoff.ForceField double.
+
+    Types by connectivity with generic amber-like values — enough to
+    execute the MolData.from_smiles path (system construction, charge
+    assignment, classical-parameter extraction, nonbonded subtraction)
+    against the openmm double."""
+
+    def __init__(self, *sources):
+        self.sources = sources
+
+    def create_openmm_system(self, off_topology, charge_from_molecules=None):
+        import openmm
+        from grappa_tpu.constants import ATOMIC_MASSES
+
+        mol = off_topology._molecule
+        n = len(mol.atoms)
+        if charge_from_molecules:
+            pc = charge_from_molecules[0].partial_charges
+            charges = np.asarray(getattr(pc, 'magnitude', pc), np.float64)
+        elif mol.partial_charges is not None:
+            charges = np.asarray(mol.partial_charges.magnitude, np.float64)
+        else:
+            # stand-in for am1bcc: electronegativity-flavored, neutralized
+            base = {1: 0.06, 6: -0.05, 7: -0.4, 8: -0.5, 16: -0.2}
+            charges = np.asarray(
+                [base.get(a.atomic_number, 0.0) for a in mol.atoms])
+            charges -= charges.mean()
+
+        system = openmm.System()
+        nonbonded = openmm.NonbondedForce()
+        for i, a in enumerate(mol.atoms):
+            system.addParticle(ATOMIC_MASSES.get(a.atomic_number, 12.0))
+            sigma = 0.12 if a.atomic_number == 1 else 0.33
+            eps = 0.0657 if a.atomic_number == 1 else 0.36
+            nonbonded.addParticle(float(charges[i]), sigma, eps)
+
+        bonds = [(b.atom1_index, b.atom2_index) for b in mol.bonds]
+        neighbor = {i: set() for i in range(n)}
+        for i, j in bonds:
+            neighbor[i].add(j)
+            neighbor[j].add(i)
+
+        bond_force = openmm.HarmonicBondForce()
+        z = [a.atomic_number for a in mol.atoms]
+        for i, j in bonds:
+            r0 = _BOND_R0.get(frozenset((z[i], z[j])), 0.1500)
+            bond_force.addBond(i, j, r0, 265265.6)
+        system.addForce(bond_force)
+
+        angle_force = openmm.HarmonicAngleForce()
+        for j in range(n):
+            ns = sorted(neighbor[j])
+            for ai in range(len(ns)):
+                for bi in range(ai + 1, len(ns)):
+                    angle_force.addAngle(ns[ai], j, ns[bi], 1.9111355, 400.0)
+        system.addForce(angle_force)
+
+        torsion_force = openmm.PeriodicTorsionForce()
+        seen = set()
+        for j, k in bonds:
+            for i in neighbor[j] - {k}:
+                for l in neighbor[k] - {j}:
+                    if i == l:
+                        continue
+                    key = min((i, j, k, l), (l, k, j, i))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    torsion_force.addTorsion(*key, 3, 0.0, 0.6508444)
+        system.addForce(torsion_force)
+        system.addForce(nonbonded)
+        return system
+
+
 def _module(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
     mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
@@ -159,6 +275,13 @@ def install():
     topology = _module('openff.toolkit.topology')
     topology.Molecule = OFFMolecule
     offtk.topology = topology
+    typing = _module('openff.toolkit.typing')
+    engines = _module('openff.toolkit.typing.engines')
+    smirnoff = _module('openff.toolkit.typing.engines.smirnoff')
+    smirnoff.ForceField = SmirnoffForceField
+    engines.smirnoff = smirnoff
+    typing.engines = engines
+    offtk.typing = typing
 
     openff = _module('openff')
     openff.toolkit = offtk
@@ -177,6 +300,9 @@ def install():
 
     for name, mod in (('openff', openff), ('openff.toolkit', offtk),
                       ('openff.toolkit.topology', topology),
+                      ('openff.toolkit.typing', typing),
+                      ('openff.toolkit.typing.engines', engines),
+                      ('openff.toolkit.typing.engines.smirnoff', smirnoff),
                       ('openff.units', units),
                       ('openff.units.unit', unit_mod),
                       ('rdkit', rdkit), ('rdkit.Chem', chem),
@@ -186,6 +312,8 @@ def install():
 
 def uninstall():
     for name in ('openff', 'openff.toolkit', 'openff.toolkit.topology',
+                 'openff.toolkit.typing', 'openff.toolkit.typing.engines',
+                 'openff.toolkit.typing.engines.smirnoff',
                  'openff.units', 'openff.units.unit',
                  'rdkit', 'rdkit.Chem', 'rdkit.Chem.rdchem'):
         sys.modules.pop(name, None)
