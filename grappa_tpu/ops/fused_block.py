@@ -420,6 +420,39 @@ def _fused_bwd(n_heads, dropout_rate, deterministic, mm_dtype, block_t,
 fused_transformer_block.defvjp(_fused_fwd, _fused_bwd)
 
 
+
+def dropout_masks(seed, s, t, f, rate, block_t=128):
+    """Replay the exact dropout masks the fused kernels draw for a given
+    (seed, shape, block_t): per grid tile, seed (seed, program_id) then
+    draw the attention mask and the FF mask in order. Returns two
+    (S, T, F) arrays (mask values already scaled by 1/keep). Validation
+    helper: lets an XLA reference reproduce the fused computation
+    bit-for-mask (tests / on-chip checks)."""
+    t_pad = -(-t // block_t) * block_t
+
+    def kernel(seed_ref, m1_ref, m2_ref):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        st, tt, ff = m1_ref.shape
+        m1 = _dropout_mask((st * tt, ff), rate)
+        m2 = _dropout_mask((st * tt, ff), rate)
+        m1_ref[:] = m1.reshape(st, tt, ff)
+        m2_ref[:] = m2.reshape(st, tt, ff)
+
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
+    block = lambda i, *_: (0, i, 0)
+    m1, m2 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t_pad // block_t,),
+            in_specs=[],
+            out_specs=[pl.BlockSpec((s, block_t, f), block)] * 2,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((s, t_pad, f), jnp.float32)] * 2,
+        interpret=INTERPRET,
+    )(seed_arr)
+    return m1[:, :t], m2[:, :t]
+
 # ---------------------------------------------------------------------------
 # Pure-XLA reference of the same math (for tests; deterministic only)
 def reference_block(x_stf, params, n_heads=8):
