@@ -107,6 +107,55 @@ def validate_config(config: Dict):
         raise KeyError(f"unknown top-level config keys: {sorted(unknown)}")
 
 
+# Reference-config keys with no TPU counterpart: torch DataLoader process
+# knobs, lightning cosmetics, and legacy aliases. Dropped (with a notice)
+# by normalize_reference_config so published reference yamls load verbatim.
+_DROPPED_REFERENCE_KEYS = {
+    'data_config': {'pin_memory', 'train_loader_workers',
+                    'val_loader_workers', 'test_loader_workers'},
+    'lit_model_config': {'log_classical', 'log_metrics', 'log_params'},
+    'trainer_config': {'profiler'},
+    'model_config': {'in_feats', 'in_feat_dims'},
+}
+
+
+def normalize_reference_config(config: Dict, verbose: bool = True) -> Dict:
+    """Translate a reference-format grappa_config.yaml dict (reference
+    training/config.py:30-121 schema) into a validated grappa_tpu config.
+
+    * torch-/lightning-only knobs are dropped (worker counts, pin_memory,
+      profiler, log_* flags, the in_feats/in_feat_dims aliases);
+    * reference keys with real semantics we do not implement raise loudly
+      instead of being silently ignored (currently: tuplewise_weight != 0 —
+      every published production config sets it to 0);
+    * everything else is strictly key-validated against default_config(),
+      so typos in translated configs fail instead of training wrong.
+    """
+    import copy
+    cfg = copy.deepcopy(config)
+    for section, keys in _DROPPED_REFERENCE_KEYS.items():
+        sec = cfg.get(section)
+        if not isinstance(sec, dict):
+            continue
+        for key in keys:
+            if key in sec:
+                val = sec.pop(key)
+                if verbose and val not in (None, {}, [], 0, False):
+                    print(f"normalize_reference_config: dropping "
+                          f"{section}.{key}={val!r} (no TPU counterpart)")
+    lit = cfg.get('lit_model_config', {})
+    if isinstance(lit, dict) and 'tuplewise_weight' in lit:
+        tw = lit.pop('tuplewise_weight')
+        if tw not in (0, 0.0, None):
+            raise NotImplementedError(
+                f"tuplewise_weight={tw!r}: the tuplewise-energy loss term "
+                f"is not implemented (all published reference production "
+                f"configs use 0)")
+    base = default_config()
+    overwrite_config(cfg, base)
+    return base
+
+
 def write_yaml(config: Dict, path):
     with open(path, 'w') as f:
         yaml.safe_dump(config, f, sort_keys=False)

@@ -47,6 +47,24 @@ def load_datasets(tags: List[str]) -> Dataset:
     return total
 
 
+def resolve_splitpath(splitpath) -> Path:
+    """A splitpath may be a json file or a dataset-zoo tag (reference
+    get_dataloaders.py:91-99: non-existent paths are resolved as tags whose
+    cached directory holds a split.json, e.g. splitpath='espaloma_split')."""
+    path = Path(splitpath)
+    if path.exists():
+        return path
+    tag_path = Path(dataset_path_from_tag(str(splitpath)))
+    candidates = [tag_path / 'split.json', tag_path / 'espaloma_split.json']
+    candidates += sorted(tag_path.glob('*.json'))
+    for cand in candidates:
+        if cand.exists():
+            return cand
+    raise FileNotFoundError(
+        f"splitpath {splitpath!r} is neither a file nor a tag directory "
+        f"containing a split json ({tag_path})")
+
+
 def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
                     ) -> Tuple[GraphLoader, GraphLoader, GraphLoader, Dict]:
     """Build train/val/test loaders according to the data config."""
@@ -56,15 +74,21 @@ def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
         ds.remove_uncommon_features()
 
     # split by molecule ids
+    ids_by_ds = {}
+    for e, name in zip(ds.entries, ds.ds_names):
+        ids_by_ds.setdefault(name, []).append(e.mol_id)
+    existing = None
     if cfg.get('splitpath'):
-        split = load_split(cfg['splitpath'])
-    else:
-        ids_by_ds = {}
-        for e, name in zip(ds.entries, ds.ds_names):
-            ids_by_ds.setdefault(name, []).append(e.mol_id)
-        split = calc_split_ids(ids_by_ds, tuple(cfg.get('partition',
-                                                        (0.8, 0.1, 0.1))),
-                               seed=cfg.get('seed', 0))
+        # a stored split assigns its ids; molecules it does not cover are
+        # split by the usual per-dataset partition (reference
+        # get_dataloaders.py:100-103 extends via existing_split — without
+        # this, datasets absent from e.g. the espaloma split json would be
+        # silently dropped)
+        existing = load_split(resolve_splitpath(cfg['splitpath']))
+    split = calc_split_ids(ids_by_ds, tuple(cfg.get('partition',
+                                                    (0.8, 0.1, 0.1))),
+                           seed=cfg.get('seed', 0),
+                           existing_split=existing)
     if run_dir is not None:
         save_split(split, Path(run_dir) / 'split.json')
 
@@ -114,9 +138,14 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
                 run_name: Optional[str] = None,
                 dataset_override: Optional[Dataset] = None,
                 cache_batches: bool = False,
-                mesh=None) -> Dict:
+                mesh=None,
+                pretrain_path: Optional[str] = None) -> Dict:
     """mesh: pass a jax.sharding.Mesh with a 'dp' axis for data-parallel
-    training across chips (see grappa_tpu.parallel)."""
+    training across chips (see grappa_tpu.parallel).
+
+    pretrain_path: model file (.npz/.pth model_dict) whose weights AND
+    scaler-statistic buffers initialize the model; start_qm_epochs is forced
+    to 0 (reference trainrun.py:118-136)."""
     validate_config(config)
     run_name = run_name or config['trainer_config'].get('name') or 'run'
     run_dir = Path(project_dir) / run_name
@@ -158,6 +187,25 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
     batch, ds_names = next(iter(train_loader))
     params = jax.jit(model.init)(jax.random.key(
         config['data_config'].get('seed', 0)), batch)
+
+    if pretrain_path is not None:
+        from grappa_tpu.train.export import load_model_dict
+        from grappa_tpu.train.torch_compat import import_state_dict
+        d = load_model_dict(pretrain_path)
+        sd = d['state_dict'] if 'state_dict' in d else d
+        loaded_params, ckpt_stats = import_state_dict(
+            sd, config['model_config'])
+        if ckpt_stats is not None:
+            # checkpoint buffers replace the train-set statistics, like
+            # torch load_state_dict overwriting registered buffers
+            model = make_model(config['model_config'], ckpt_stats,
+                               eps_applied=True)
+        jax.tree.map(lambda a, b: None if a.shape == b.shape else
+                     (_ for _ in ()).throw(ValueError(
+                         f"pretrain shape mismatch {a.shape} vs {b.shape}")),
+                     params, loaded_params)
+        params = loaded_params
+        config['lit_model_config']['start_qm_epochs'] = 0
 
     if config.get('test_model'):
         from grappa_tpu.models import mm_energy

@@ -96,6 +96,42 @@ def test_do_trainrun_end_to_end(tmp_path):
             == entry['rmse_energies'])
 
 
+def test_do_trainrun_pretrain_path(tmp_path):
+    """pretrain_path initializes params+stat buffers from a model file and
+    forces start_qm_epochs to 0 (reference trainrun.py:118-136)."""
+    import jax
+
+    from grappa_tpu.train.export import load_model_dict, model_from_dict
+    from grappa_tpu.train.run import do_trainrun
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=6, n_confs=3, seed=9),
+                         'syn').save(ds_dir)
+    config = _small_config(ds_dir, max_epochs=1)
+    config['test_model'] = False
+    out1 = do_trainrun(config, project_dir=str(tmp_path / 'runs'),
+                       run_name='base')
+
+    config2 = _small_config(ds_dir, max_epochs=0)
+    config2['test_model'] = False
+    out2 = do_trainrun(config2, project_dir=str(tmp_path / 'runs'),
+                       run_name='warm', pretrain_path=out1['model_dict_path'])
+    # 0 epochs -> exported params must equal the pretrain file's params
+    _, p_src, _ = model_from_dict(load_model_dict(out1['model_dict_path']))
+    _, p_out, _ = model_from_dict(load_model_dict(out2['model_dict_path']))
+    for a, b in zip(jax.tree.leaves(p_src), jax.tree.leaves(p_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert config2['lit_model_config']['start_qm_epochs'] == 0
+
+    # a config whose architecture disagrees with the file must fail loudly
+    config3 = _small_config(ds_dir, max_epochs=1)
+    config3['test_model'] = False
+    config3['model_config']['gnn_width'] = 32
+    with pytest.raises(Exception):
+        do_trainrun(config3, project_dir=str(tmp_path / 'runs'),
+                    run_name='bad', pretrain_path=out1['model_dict_path'])
+
+
 def test_bootstrap_evaluator_cis():
     ev = BootstrapEvaluator()
     rng = np.random.default_rng(0)
