@@ -8,7 +8,9 @@ energy, forces via grad, energy+force+param loss, grad-of-grad backward,
 Adam update) on two workloads:
 
   * small-molecule batch: 128 molecules x 32 conformers, mixed sizes
-    (espaloma-benchmark-like) — the headline metric, and
+    (espaloma-benchmark-like) — the headline metric,
+  * the peak-MFU config: 512 molecules x 32 conformers in bfloat16 — the
+    matmul-bound throughput point found by benchmarks/mfu_probe.py, and
   * protein-scale batch: 2 molecules x ~1500 atoms x 8 conformers
     (macromolecule parametrization regime).
 
@@ -56,6 +58,22 @@ def build_batch():
             make_moldata(seed=SEED + i, n_confs=N_CONFS, n_atoms=n_atoms)))
     pad = bucketed_pad_spec(graphs, N_CONFS)
     return collate(graphs, pad=pad, n_confs=N_CONFS), graphs
+
+
+def build_big_batch(n_mols=512, n_confs=32):
+    """The peak-MFU workload: 4x the headline molecule count, bf16."""
+    from grappa_tpu.data import MolGraph, collate
+    from grappa_tpu.data.loader import bucketed_pad_spec
+    from grappa_tpu.data.synthetic import make_moldata
+
+    rng = np.random.default_rng(SEED)
+    graphs = []
+    for i in range(n_mols):
+        n_atoms = int(rng.integers(8, 44))
+        graphs.append(MolGraph.from_moldata(
+            make_moldata(seed=SEED + i, n_confs=n_confs, n_atoms=n_atoms)))
+    pad = bucketed_pad_spec(graphs, n_confs)
+    return collate(graphs, pad=pad, n_confs=n_confs)
 
 
 def build_protein_batch():
@@ -192,6 +210,16 @@ def main():
                                        compute_dtype='bfloat16')
     bf16 = _perf(bf16_sec, bf16_flops)
 
+    # peak-MFU config (512 mol x 32 conf, bf16): the matmul-bound point of
+    # benchmarks/mfu_probe.py's sweep
+    big_batch = build_big_batch()
+    big_sec, big_flops = measure_jax(big_batch, n_steps=30, n_warmup=5,
+                                     compute_dtype='bfloat16')
+    peak = _perf(big_sec, big_flops)
+    peak['config'] = '512mol_32conf_bf16'
+    peak['mol_confs_per_sec'] = round(512 * 32 / big_sec, 1)
+    del big_batch
+
     protein_batch = build_protein_batch()
     prot_sec, prot_flops = measure_jax(protein_batch, n_steps=30, n_warmup=5)
     protein = _perf(prot_sec, prot_flops)
@@ -218,6 +246,7 @@ def main():
                     'the bf16 section runs bf16 matmuls)',
         'mol_confs_per_sec': small['mol_confs_per_sec'],
         'bf16': bf16,
+        'peak_mfu': peak,
         'protein_scale': protein,
     }))
 
