@@ -1,0 +1,160 @@
+"""Espaloma-scale OFFLINE accuracy proxy benchmark.
+
+The real espaloma benchmark (reference: experiments/evaluation/
+espaloma_benchmark/, BASELINE.md table) cannot run here — zero egress means
+no espaloma archives and no published checkpoint. This experiment is the
+stand-in that makes *accuracy regressions measurable round over round*:
+
+  * 2,000 molecules in FOUR chemistries mirroring the published collection's
+    axes (element palette, size distribution, charge model, conformer count):
+      proxy-spice-monomers  500 mols  10-20 atoms  HCNO        am1BCC  8 confs
+      proxy-spice-pubchem   700 mols  18-40 atoms  HCNOS+F/Cl  am1BCC  6 confs
+      proxy-peptide         500 mols  30-60 atoms  HCNO-chain  amber99 6 confs
+      proxy-rna-like        300 mols  20-36 atoms  HCNOP       am1BCC  8 confs
+  * all targets computed by the independent torch oracle from ONE shared
+    environment force field (data/synthetic.py:environment_parameters), so
+    held-out-molecule RMSE measures real generalization;
+  * a FIXED espaloma-style split json committed next to this script
+    (10% test / 10% val, deterministic), consumed through the production
+    `splitpath` mechanism exactly like the published benchmark;
+  * training through the real production path: the benchmark yaml
+    (experiments/benchmark/grappa_config.yaml), tag resolution via the zoo
+    cache, weighted multi-dataset loader, curriculum/warmup/plateau schedule,
+    bootstrap-CI test evaluation per subdataset.
+
+Targets (regression gate, see RESULTS.md): test rmse_energies <= 1.0
+kcal/mol and crmse_gradients <= 1.5 kcal/mol/A on every subdataset.
+
+Usage:
+  python experiments/espaloma_proxy/run.py generate   # build + cache data
+  python experiments/espaloma_proxy/run.py train [--epochs 150]
+  python experiments/espaloma_proxy/run.py all
+"""
+import argparse
+import json
+import os
+import sys
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+
+HERE = Path(__file__).parent
+CACHE = HERE / 'cache'
+SPLIT_JSON = HERE / 'espaloma_split.json'
+
+# (n_mols, n_confs, seed, elements, atom_range, charge_model); element
+# repeats raise the draw probability (H-rich palettes for organic realism)
+SPECS = {
+    'proxy-spice-monomers': (500, 8, 31, [1, 1, 6, 6, 7, 8], (10, 21),
+                             'am1BCC'),
+    'proxy-spice-pubchem': (700, 6, 32, [1, 1, 6, 6, 6, 7, 8, 16, 9, 17],
+                            (18, 41), 'am1BCC'),
+    'proxy-peptide': (500, 6, 33, [1, 1, 1, 6, 6, 6, 7, 8], (30, 61),
+                      'amber99'),
+    'proxy-rna-like': (300, 8, 34, [1, 6, 6, 7, 7, 8, 8, 15], (20, 37),
+                       'am1BCC'),
+}
+
+
+def _one_moldata(task):
+    tag, seed, n_confs, elements, atom_range, charge_model = task
+    os.environ.setdefault('OMP_NUM_THREADS', '1')
+    import torch
+    torch.set_num_threads(1)
+    from grappa_tpu.data.synthetic import make_moldata
+    return make_moldata(seed=seed, n_confs=n_confs, ds_name=tag,
+                        learnable=True, conf_noise=0.08,
+                        charge_model=charge_model, elements=elements,
+                        atom_range=atom_range)
+
+
+def generate(workers: int = 8):
+    from grappa_tpu.data.dataset import Dataset
+    all_ids = []
+    for tag, (n_mols, n_confs, seed, elements, rng, cm) in SPECS.items():
+        out = CACHE / 'datasets' / tag
+        if out.exists():
+            ds = Dataset.load(out)
+            print(f'{tag}: cached ({len(ds)} mols)')
+            all_ids += ds.mol_ids
+            continue
+        tasks = [(tag, seed * 1000 + i, n_confs, elements, rng, cm)
+                 for i in range(n_mols)]
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            mds = list(ex.map(_one_moldata, tasks, chunksize=8))
+        ds = Dataset.from_moldata(mds, tag)
+        ds.save(out)
+        all_ids += ds.mol_ids
+        print(f'{tag}: generated {len(ds)} mols')
+
+    # fixed deterministic espaloma-style split: sort ids, every 10th is
+    # test, the next each time is val -> 80/10/10
+    from grappa_tpu.espaloma_split import (build_espaloma_split,
+                                           save_espaloma_split)
+    ids = sorted(all_ids)
+    split = build_espaloma_split(ids, te_smiles=ids[::10],
+                                 vl_smiles=ids[1::10])
+    if SPLIT_JSON.exists():
+        stored = json.loads(SPLIT_JSON.read_text())
+        if stored != split:
+            raise RuntimeError(
+                'regenerated split differs from the committed '
+                f'{SPLIT_JSON} — generation is no longer deterministic')
+        print('split matches the committed espaloma_split.json')
+    else:
+        save_espaloma_split(split, SPLIT_JSON)
+        print(f'wrote {SPLIT_JSON}')
+    return split
+
+
+def train(epochs: int = 150, out_dir: str = None):
+    os.environ['GRAPPA_TPU_CACHE'] = str(CACHE)
+    from grappa_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from grappa_tpu.train.config import read_yaml
+    from grappa_tpu.train.run import do_trainrun
+
+    config = read_yaml(HERE.parent / 'benchmark' / 'grappa_config.yaml')
+    config['data_config'].update({
+        'datasets': sorted(SPECS),
+        'pure_train_datasets': [], 'pure_val_datasets': [],
+        # mirror the published weighting pattern: upweight the scarce
+        # RNA-like set, downweight the big pubchem-like set
+        'weights': {'proxy-rna-like': 3.0, 'proxy-spice-pubchem': 0.8},
+        'splitpath': str(SPLIT_JSON),
+        'conf_strategy': 8, 'val_conf_strategy': 8,
+    })
+    config['trainer_config']['max_epochs'] = epochs
+    config['trainer_config']['name'] = 'espaloma-proxy'
+
+    out = do_trainrun(config, project_dir=out_dir or str(HERE / 'runs'),
+                      run_name='espaloma-proxy', cache_batches=True)
+    results = out['results']
+    # the bootstrap test metrics are stored in the exported model_dict
+    from grappa_tpu.train.export import load_model_dict
+    md = load_model_dict(out['model_dict_path'])
+    summary = {
+        'epochs_run': len(results.get('history', [])),
+        'best_es_loss': min(
+            (h['early_stopping_loss'] for h in results.get('history', [])
+             if h.get('early_stopping_loss') is not None), default=None),
+        'test': (md.get('results') or {}).get('test'),
+    }
+    (HERE / 'proxy_results.json').write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary, indent=1))
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('stage', choices=['generate', 'train', 'all'])
+    ap.add_argument('--epochs', type=int, default=150)
+    ap.add_argument('--workers', type=int, default=8)
+    args = ap.parse_args()
+    if args.stage in ('generate', 'all'):
+        generate(workers=args.workers)
+    if args.stage in ('train', 'all'):
+        train(epochs=args.epochs)
+
+
+if __name__ == '__main__':
+    main()

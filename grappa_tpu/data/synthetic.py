@@ -12,7 +12,7 @@ releases, reference: src/grappa/utils/dataset_utils.py:15-135).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -23,12 +23,20 @@ from grappa_tpu.data.parameters import Parameters
 
 
 def random_molecule(seed: int = 0, n_atoms: Optional[int] = None,
-                    charge_model: str = 'am1BCC') -> Molecule:
+                    charge_model: str = 'am1BCC',
+                    elements: Optional[List[int]] = None,
+                    atom_range: Tuple[int, int] = (6, 24)) -> Molecule:
     """Random connected molecule with branches, an occasional ring and
-    improper centers at every degree-3 atom."""
+    improper centers at every degree-3 atom.
+
+    elements: atomic-number palette to draw from (repeats raise the draw
+    probability), default [1, 6, 6, 7, 8, 16]. atom_range: (lo, hi) for the
+    random atom count when n_atoms is None. Distinct palettes/sizes emulate
+    distinct chemistries (small-molecule vs peptide vs nucleic-acid-like)
+    for espaloma-scale proxy benchmarks."""
     rng = np.random.default_rng(seed)
     if n_atoms is None:
-        n_atoms = int(rng.integers(6, 24))
+        n_atoms = int(rng.integers(atom_range[0], atom_range[1]))
     bonds = []
     for i in range(1, n_atoms):
         parent = int(rng.integers(max(0, i - 4), i))
@@ -61,7 +69,8 @@ def random_molecule(seed: int = 0, n_atoms: Optional[int] = None,
             a, b, c = sorted(nbrs[center])
             improper_sets.append((a, b, center, c))
 
-    zs = rng.choice([1, 6, 6, 7, 8, 16], size=n_atoms)
+    zs = rng.choice(elements if elements is not None else [1, 6, 6, 7, 8, 16],
+                    size=n_atoms)
     charges = rng.normal(0, 0.3, size=n_atoms).astype(np.float32)
     charges -= charges.mean()
     return Molecule(
@@ -289,13 +298,17 @@ def make_moldata(seed: int = 0, n_confs: int = 8,
                  n_atoms: Optional[int] = None,
                  ds_name: str = 'synthetic',
                  learnable: bool = False,
-                 conf_noise: float = 0.25) -> MolData:
+                 conf_noise: float = 0.25,
+                 charge_model: str = 'am1BCC',
+                 elements: Optional[List[int]] = None,
+                 atom_range: Tuple[int, int] = (6, 24)) -> MolData:
     """Full synthetic dataset entry with self-consistent targets.
     learnable=True derives parameters from atomic environments (a fixed
     ground-truth FF the model can generalize), else random per molecule.
     conf_noise: per-coordinate displacement (A); ~0.08 mimics realistic
     near-equilibrium conformer ensembles, 0.25 is a stress test."""
-    mol = random_molecule(seed, n_atoms=n_atoms)
+    mol = random_molecule(seed, n_atoms=n_atoms, charge_model=charge_model,
+                          elements=elements, atom_range=atom_range)
     params = (environment_parameters(mol) if learnable
               else random_parameters(mol, seed))
     xyz = embed_conformers(mol, n_confs, seed, noise=conf_noise,
@@ -324,8 +337,12 @@ def make_moldata(seed: int = 0, n_confs: int = 8,
 def make_dataset(n_mols: int = 8, n_confs: int = 8, seed: int = 0,
                  ds_name: str = 'synthetic',
                  learnable: bool = False,
-                 conf_noise: float = 0.25) -> List[MolData]:
+                 conf_noise: float = 0.25,
+                 charge_model: str = 'am1BCC',
+                 elements: Optional[List[int]] = None,
+                 atom_range: Tuple[int, int] = (6, 24)) -> List[MolData]:
     return [make_moldata(seed=seed * 1000 + i, n_confs=n_confs,
                          ds_name=ds_name, learnable=learnable,
-                         conf_noise=conf_noise)
+                         conf_noise=conf_noise, charge_model=charge_model,
+                         elements=elements, atom_range=atom_range)
             for i in range(n_mols)]

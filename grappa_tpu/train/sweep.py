@@ -1,4 +1,4 @@
-"""Local hyperparameter sweeps (random search).
+"""Local hyperparameter sweeps (random search + Bayesian optimization).
 
 The reference runs wandb Bayes sweeps over lr/batch/width/layers (reference:
 experiments/hyperparameter_optimization/sweep_config.yaml + hpo_run.py via
@@ -7,6 +7,12 @@ equivalent: a sweep spec maps dotted config paths to value distributions;
 each trial runs do_trainrun with a short budget and the results stream into
 <sweep_dir>/trials.jsonl. The `finish_criterion` mechanism of the trainer
 kills unpromising trials early, like the reference's sweep runs.
+
+`method='bayes'` matches the reference sweep's `method: bayes`: a
+first-party Gaussian-process surrogate (RBF kernel on the unit-cube
+encoding of the spec, numpy-only — wandb's service is unavailable offline)
+with expected-improvement acquisition over random candidates; the first
+`n_init` trials are random.
 
 Spec example:
     spec = {
@@ -21,7 +27,7 @@ import copy
 import json
 import traceback
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -40,6 +46,90 @@ def sample_value(rng: np.random.Generator, dist: Tuple):
     raise ValueError(f"unknown distribution {kind!r}")
 
 
+class SpecEncoder:
+    """Maps spec samples <-> points on the unit cube for the GP surrogate.
+
+    Continuous dims normalize linearly (log-space for log_uniform);
+    `choice` dims are one-hot encoded so the kernel sees no fake ordering.
+    """
+
+    def __init__(self, spec: Dict[str, Tuple]):
+        self.spec = spec
+        self.paths = sorted(spec)
+        self.dim = sum(len(spec[p][1]) if spec[p][0] == 'choice' else 1
+                       for p in self.paths)
+
+    def encode(self, sampled: Dict[str, object]) -> np.ndarray:
+        x: List[float] = []
+        for p in self.paths:
+            dist = self.spec[p]
+            kind = dist[0]
+            v = sampled[p]
+            if kind == 'choice':
+                onehot = [0.0] * len(dist[1])
+                onehot[dist[1].index(v)] = 1.0
+                x += onehot
+            elif kind == 'uniform':
+                x.append((float(v) - dist[1]) / (dist[2] - dist[1]))
+            elif kind == 'log_uniform':
+                x.append((np.log(float(v)) - np.log(dist[1]))
+                         / (np.log(dist[2]) - np.log(dist[1])))
+            elif kind == 'int_uniform':
+                x.append((float(v) - dist[1]) / max(dist[2] - dist[1], 1))
+            else:
+                raise ValueError(f"unknown distribution {kind!r}")
+        return np.asarray(x, np.float64)
+
+
+def _gp_posterior(X: np.ndarray, y: np.ndarray, Xq: np.ndarray,
+                  length_scale: float = 0.35, noise: float = 1e-4):
+    """GP regression posterior mean/std at Xq (RBF kernel, zero prior mean
+    on standardized y)."""
+    def rbf(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / length_scale ** 2)
+
+    K = rbf(X, X) + noise * np.eye(len(X))
+    Ks = rbf(Xq, X)
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+    mean = Ks @ alpha
+    v = np.linalg.solve(L, Ks.T)
+    var = np.clip(1.0 + noise - (v ** 2).sum(0), 1e-12, None)
+    return mean, np.sqrt(var)
+
+
+def _expected_improvement(mean, std, best_y):
+    """EI for MINIMIZATION on standardized y."""
+    from math import erf, exp, pi, sqrt
+    z = (best_y - mean) / std
+    cdf = 0.5 * (1.0 + np.vectorize(erf)(z / sqrt(2.0)))
+    pdf = np.exp(-0.5 * z ** 2) / sqrt(2.0 * pi)
+    return (best_y - mean) * cdf + std * pdf
+
+
+def suggest_bayes(spec: Dict[str, Tuple], history: List[Dict],
+                  rng: np.random.Generator,
+                  n_candidates: int = 512) -> Dict[str, object]:
+    """One GP-EI suggestion given trial history entries
+    {'params': {...}, 'early_stopping_loss': float}."""
+    enc = SpecEncoder(spec)
+    done = [h for h in history
+            if np.isfinite(h.get('early_stopping_loss', np.inf))]
+    if len(done) < 2:
+        return {p: sample_value(rng, d) for p, d in spec.items()}
+    X = np.stack([enc.encode(h['params']) for h in done])
+    y = np.log(np.maximum([h['early_stopping_loss'] for h in done], 1e-12))
+    y_std = y.std() or 1.0
+    y_norm = (y - y.mean()) / y_std
+    cands = [{p: sample_value(rng, d) for p, d in spec.items()}
+             for _ in range(n_candidates)]
+    Xq = np.stack([enc.encode(c) for c in cands])
+    mean, std = _gp_posterior(X, y_norm, Xq)
+    ei = _expected_improvement(mean, std, y_norm.min())
+    return cands[int(np.argmax(ei))]
+
+
 def set_dotted(config: Dict, path: str, value):
     keys = path.split('.')
     node = config
@@ -53,21 +143,30 @@ def set_dotted(config: Dict, path: str, value):
 def run_sweep(base_config: Dict, spec: Dict[str, Tuple], n_trials: int,
               sweep_dir: str = 'sweeps/sweep', seed: int = 0,
               dataset_override=None,
-              max_epochs: Optional[int] = None) -> Dict:
-    """Random-search sweep; returns the best trial summary."""
+              max_epochs: Optional[int] = None,
+              method: str = 'random', n_init: int = 5) -> Dict:
+    """Sweep with `method` in {'random', 'bayes'}; returns the best trial
+    summary. 'bayes' = GP-EI after `n_init` random warmup trials (reference
+    sweep_config.yaml method: bayes)."""
     from grappa_tpu.train.run import do_trainrun
 
+    if method not in ('random', 'bayes'):
+        raise ValueError(f"method must be 'random' or 'bayes', got {method!r}")
     sweep_dir = Path(sweep_dir)
     sweep_dir.mkdir(parents=True, exist_ok=True)
     log_path = sweep_dir / 'trials.jsonl'
     rng = np.random.default_rng(seed)
 
+    history: List[Dict] = []
     best = {'trial': None, 'early_stopping_loss': float('inf')}
     with open(log_path, 'a') as log:
         for trial in range(n_trials):
             config = copy.deepcopy(base_config)
-            sampled = {path: sample_value(rng, dist)
-                       for path, dist in spec.items()}
+            if method == 'bayes' and trial >= n_init:
+                sampled = suggest_bayes(spec, history, rng)
+            else:
+                sampled = {path: sample_value(rng, dist)
+                           for path, dist in spec.items()}
             for path, value in sampled.items():
                 set_dotted(config, path, value)
             if max_epochs is not None:
@@ -83,6 +182,7 @@ def run_sweep(base_config: Dict, spec: Dict[str, Tuple], n_trials: int,
                                           float('inf'))
                 record['early_stopping_loss'] = loss
                 record['epochs'] = out['results'].get('epochs')
+                history.append(record)
                 if loss < best['early_stopping_loss']:
                     best = {'trial': trial, 'params': sampled,
                             'early_stopping_loss': loss,

@@ -223,6 +223,51 @@ def test_sweep_sampling():
         set_dotted(cfg, 'a.c', 1)
 
 
+def test_bayes_optimizer_beats_random_on_toy_objective():
+    """The GP-EI suggester (reference sweep method: bayes) localizes the
+    minimum of a smooth toy objective far better than random search at equal
+    budget."""
+    import numpy as np
+    from grappa_tpu.train.sweep import (SpecEncoder, sample_value,
+                                        suggest_bayes)
+
+    spec = {
+        'lr': ('log_uniform', 1e-5, 1e-2),
+        'width': ('choice', [128, 256, 512]),
+    }
+    # minimum at lr = 1e-3.5, width = 256
+    def objective(p):
+        return ((np.log10(p['lr']) + 3.5) ** 2
+                + {128: 0.5, 256: 0.0, 512: 0.8}[p['width']] + 0.05)
+
+    rng = np.random.default_rng(0)
+    history = []
+    for trial in range(25):
+        p = (suggest_bayes(spec, history, rng) if trial >= 5
+             else {k: sample_value(rng, d) for k, d in spec.items()})
+        history.append({'params': p, 'early_stopping_loss': objective(p)})
+    bayes_best = min(h['early_stopping_loss'] for h in history)
+
+    rng2 = np.random.default_rng(1)
+    random_best = min(
+        objective({k: sample_value(rng2, d) for k, d in spec.items()})
+        for _ in range(25))
+    assert bayes_best < random_best
+    assert bayes_best < 0.1  # localized the optimum basin
+
+    # late suggestions concentrate near the optimum
+    late = history[-1]['params']
+    assert late['width'] == 256
+    assert abs(np.log10(late['lr']) + 3.5) < 0.5
+
+    # encoder: one-hot for choice, unit-interval for continuous
+    enc = SpecEncoder(spec)
+    x = enc.encode({'lr': 1e-3, 'width': 512})
+    assert enc.dim == 4 and x.shape == (4,)
+    assert list(x[-3:]) == [0.0, 0.0, 1.0]  # width one-hot (sorted paths: lr first)
+    assert 0.0 <= x[0] <= 1.0
+
+
 def test_report_tables(tmp_path):
     from grappa_tpu.train.report import markdown_table, tex_table, write_report
     results = {
