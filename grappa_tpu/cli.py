@@ -41,6 +41,55 @@ def cmd_resume(argv):
     print(json.dumps({'run_dir': out['run_dir']}))
 
 
+def cmd_resume_all(argv):
+    """Resume every unfinished run in a project dir (offline counterpart of
+    the reference's wandb-scan + sbatch resubmission loop, reference:
+    experiments/benchmark/resume_all.py:1-27 — here runs are identified by
+    their run dirs and resumed sequentially on the local chip)."""
+    p = argparse.ArgumentParser(
+        prog='grappa_resume_all',
+        description='Resume all unfinished runs in a project directory.')
+    p.add_argument('project_dir')
+    p.add_argument('--except', dest='excluded', nargs='*', default=[],
+                   help='run names to skip')
+    p.add_argument('--dry-run', action='store_true',
+                   help='only list what would be resumed')
+    args = p.parse_args(argv)
+
+    from pathlib import Path
+
+    from grappa_tpu.train.config import read_yaml
+    from grappa_tpu.train.run import resume_trainrun
+
+    project = Path(args.project_dir)
+    todo, skipped = [], []
+    for run_dir in sorted(d for d in project.iterdir() if d.is_dir()):
+        if run_dir.name in args.excluded:
+            skipped.append({'run': run_dir.name, 'reason': 'excluded'})
+            continue
+        meta_path = run_dir / 'last.ckpt' / 'meta.json'
+        if not meta_path.exists():
+            skipped.append({'run': run_dir.name, 'reason': 'no checkpoint'})
+            continue
+        meta = json.loads(meta_path.read_text())
+        config = read_yaml(run_dir / 'grappa_config.yaml')
+        target = int(config['trainer_config'].get('max_epochs', 100))
+        done_epochs = int(meta.get('epoch', -1)) + 1
+        if done_epochs >= target and (run_dir / 'model.npz').exists():
+            skipped.append({'run': run_dir.name, 'reason': 'finished'})
+            continue
+        todo.append({'run': run_dir.name, 'epochs_done': done_epochs,
+                     'target': target})
+
+    print(json.dumps({'to_resume': todo, 'skipped': skipped}, indent=1))
+    if args.dry_run:
+        return
+    for item in todo:
+        print(f"resuming {item['run']} "
+              f"({item['epochs_done']}/{item['target']} epochs)")
+        resume_trainrun(str(project / item['run']))
+
+
 def cmd_eval(argv):
     p = argparse.ArgumentParser(
         prog='grappa_eval',
@@ -353,6 +402,7 @@ def cmd_import_ref(argv):
 COMMANDS = {
     'train': cmd_train,
     'resume': cmd_resume,
+    'resume-all': cmd_resume_all,
     'eval': cmd_eval,
     'export': cmd_export,
     'gmx': cmd_gmx,

@@ -156,7 +156,10 @@ def parameter_scatter_plots(model, params, dataset: Dataset, plot_dir,
     (reference Evaluator.plot_parameters, evaluation.py:389-408)."""
     from pathlib import Path
     from grappa_tpu.api import Grappa
-    from grappa_tpu.plotting import compare_parameters, plot_parameters
+    from grappa_tpu.plotting import (compare_parameters,
+                                     compare_parameters_detailed,
+                                     plot_parameters,
+                                     plot_parameters_detailed)
 
     plot_dir = Path(plot_dir)
     plot_dir.mkdir(parents=True, exist_ok=True)
@@ -175,7 +178,17 @@ def parameter_scatter_plots(model, params, dataset: Dataset, plot_dir,
                            title=ds_name)
         f2 = plot_dir / f'{ds_name}_parameters.png'
         plot_parameters(d['pred'], filename=str(f2), title=ds_name)
-        written += [str(f1), str(f2)]
+        # reference-layout panels: signed per-periodicity torsion ks,
+        # angles in degrees (Parameters.py:646-923)
+        f3 = plot_dir / f'{ds_name}_parameter_comparison_detailed.png'
+        compare_parameters_detailed(
+            d['ref'], d['pred'], filename=str(f3),
+            xlabel='classical (ref)', ylabel='prediction', title=ds_name)
+        f4 = plot_dir / f'{ds_name}_parameters_detailed.png'
+        plot_parameters_detailed(
+            d['pred'], compare=d['ref'], filename=str(f4), title=ds_name,
+            name='grappa_tpu', compare_name='classical')
+        written += [str(f1), str(f2), str(f3), str(f4)]
     return written
 
 

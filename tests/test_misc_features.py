@@ -53,6 +53,38 @@ def test_plotting_smoke(tmp_path):
     assert (tmp_path / 'c.png').stat().st_size > 1000
 
 
+def test_plotting_detailed(tmp_path):
+    """Reference-layout panels (signed per-periodicity torsion ks, degrees,
+    exclude_idxs, violin comparison) render and filter correctly."""
+    from grappa_tpu.data.synthetic import random_parameters
+    from grappa_tpu.plotting import (_detailed_panels,
+                                     compare_parameters_detailed,
+                                     plot_parameters_detailed)
+    mol = random_molecule(seed=1)
+    p1 = random_parameters(mol, 1)
+    p2 = random_parameters(mol, 2)
+    compare_parameters_detailed(p1, p2, filename=str(tmp_path / 'cd.png'),
+                                density=True)
+    plot_parameters_detailed(p1, compare=p2,
+                             filename=str(tmp_path / 'pd.png'))
+    assert (tmp_path / 'cd.png').stat().st_size > 1000
+    assert (tmp_path / 'pd.png').stat().st_size > 1000
+
+    # panel math: signed k folds phase pi into negative k; angles in degrees
+    panels = _detailed_panels([p1])
+    signed = np.where(p1.proper_phases[:, 0] > 1.0, -p1.proper_ks[:, 0],
+                      p1.proper_ks[:, 0])
+    np.testing.assert_allclose(panels['torsion_k1'], signed)
+    np.testing.assert_allclose(panels['angle_eq'],
+                               p1.angle_eq * 180.0 / np.pi)
+    # exclude_idxs drops bonds/angles touching the given atoms
+    excl = np.asarray(p1.bonds)[0]
+    filtered = _detailed_panels([p1], exclude_idxs=[excl])
+    keep = ~np.isin(np.asarray(p1.bonds), excl).any(axis=1)
+    assert len(filtered['bond_eq']) == keep.sum()
+    np.testing.assert_allclose(filtered['bond_eq'], p1.bond_eq[keep])
+
+
 def test_conf_strategies():
     from grappa_tpu.data.dataset import Dataset
     from grappa_tpu.data.loader import GraphLoader

@@ -223,6 +223,40 @@ def test_sweep_sampling():
         set_dotted(cfg, 'a.c', 1)
 
 
+def test_resume_all_scan(tmp_path, capsys):
+    """`resume-all --dry-run` classifies runs: unfinished ones are queued,
+    finished/checkpoint-less/excluded ones are skipped (reference
+    resume_all.py semantics, offline)."""
+    from grappa_tpu.cli import main
+    from grappa_tpu.train.config import default_config, write_yaml
+
+    def fake_run(name, epoch, target, exported):
+        d = tmp_path / 'proj' / name
+        (d / 'last.ckpt').mkdir(parents=True)
+        (d / 'last.ckpt' / 'meta.json').write_text(
+            json.dumps({'epoch': epoch}))
+        cfg = default_config()
+        cfg['trainer_config']['max_epochs'] = target
+        write_yaml(cfg, d / 'grappa_config.yaml')
+        if exported:
+            (d / 'model.npz').write_bytes(b'x')
+
+    fake_run('unfinished', epoch=4, target=10, exported=False)
+    fake_run('finished', epoch=9, target=10, exported=True)
+    fake_run('excluded', epoch=1, target=10, exported=False)
+    (tmp_path / 'proj' / 'no_ckpt').mkdir()
+
+    rc = main(['resume-all', str(tmp_path / 'proj'),
+               '--except', 'excluded', '--dry-run'])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [t['run'] for t in out['to_resume']] == ['unfinished']
+    assert out['to_resume'][0]['epochs_done'] == 5
+    reasons = {s['run']: s['reason'] for s in out['skipped']}
+    assert reasons == {'finished': 'finished', 'excluded': 'excluded',
+                       'no_ckpt': 'no checkpoint'}
+
+
 def test_bayes_optimizer_beats_random_on_toy_objective():
     """The GP-EI suggester (reference sweep method: bayes) localizes the
     minimum of a smooth toy objective far better than random search at equal
