@@ -34,11 +34,15 @@ class NeighborAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, h, neighbors, neighbor_mask):
+    def __call__(self, h, neighbors, neighbor_mask, project_only=False):
         # h: (N, F); neighbors: (N, D) int32; neighbor_mask: (N, D)
         dh = self.out_feats // self.num_heads
         feat = nn.Dense(self.out_feats, use_bias=False, dtype=self.dtype,
                         name='fc')(h)
+        if project_only:
+            # fused-kernel path (ops/fused_gnn.py): only the projection runs
+            # here; attention happens inside the Pallas kernel
+            return feat.astype(jnp.float32)
         feat = feat.reshape(-1, self.num_heads, dh)          # (N, H, dh)
         nbr_feat = feat[neighbors]                            # (N, D, H, dh)
         scores = jnp.einsum('nhd,nkhd->nkh', feat, nbr_feat,
@@ -70,11 +74,16 @@ class ResidualAttentionBlock(nn.Module):
     self_interaction: bool = True
     dtype: Optional[jnp.dtype] = None
     zero_init_residual: bool = True
+    fused: bool = False   # Pallas fused post-gather kernel (ops/fused_gnn.py)
 
     @nn.compact
     def __call__(self, h, neighbors, neighbor_mask, deterministic=True):
         out_init = (nn.initializers.zeros if self.zero_init_residual
                     else nn.initializers.lecun_normal())
+        if (self.fused and self.layer_norm and self.self_interaction
+                and h.shape[-1] == self.out_feats):
+            return self._fused(h, neighbors, neighbor_mask, deterministic,
+                               out_init)
         if self.layer_norm:
             h = nn.LayerNorm(epsilon=LN_EPS, name='norm')(h)
         h_skip = h
@@ -99,6 +108,49 @@ class ResidualAttentionBlock(nn.Module):
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             h = x + h_skip
         return h
+
+    def _fused(self, h, neighbors, neighbor_mask, deterministic, out_init):
+        """Everything after the neighbor gather runs in one Pallas kernel
+        (ops/fused_gnn.py): scores, masked softmax, message sum, head
+        reducer, dropout, residual, interaction LN, FF, dropout, residual.
+        Identical math and an identical checkpoint tree — each flax
+        submodule is instantiated (one-row touch) so its params exist, then
+        the kernel consumes them (same scheme as heads._fused_transformer)."""
+        import jax
+
+        from grappa_tpu.ops.fused_gnn import fused_gnn_block
+
+        hn = nn.LayerNorm(epsilon=LN_EPS, name='norm')(h)
+        feat = NeighborAttention(self.out_feats, self.num_heads,
+                                 dtype=self.dtype, name='attention')(
+            hn, neighbors, neighbor_mask, project_only=True)
+
+        reducer = nn.Dense(self.out_feats, dtype=self.dtype,
+                           kernel_init=out_init, name='head_reducer')
+        _ = reducer(feat[:1])
+        inorm = nn.LayerNorm(epsilon=LN_EPS, name='interaction_norm')
+        _ = inorm(feat[:1])
+        d1 = nn.Dense(4 * self.out_feats, dtype=self.dtype, name='si_dense1')
+        _ = d1(feat[:1])
+        d2 = nn.Dense(self.out_feats, dtype=self.dtype, kernel_init=out_init,
+                      name='si_dense2')
+        _ = d2(jnp.zeros((1, 4 * self.out_feats), feat.dtype))
+        params = {'head_reducer': reducer.variables['params'],
+                  'interaction_norm': inorm.variables['params'],
+                  'si_dense1': d1.variables['params'],
+                  'si_dense2': d2.variables['params']}
+
+        if deterministic or self.dropout == 0.0:
+            seed = jnp.uint32(0)
+        else:
+            key = self.make_rng('dropout')
+            seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
+
+        nbr = feat[neighbors].transpose(1, 0, 2)            # (D, N, F)
+        mask = neighbor_mask.astype(jnp.float32).T          # (D, N)
+        return fused_gnn_block(
+            feat, nbr, hn, mask, params, seed, self.num_heads, self.dropout,
+            bool(deterministic or self.dropout == 0.0), self.dtype)
 
 
 class ResidualConvBlock(nn.Module):
@@ -147,6 +199,7 @@ class GrappaGNN(nn.Module):
     self_interaction: bool = True
     dtype: Optional[jnp.dtype] = None
     remat: bool = False   # layer-wise rematerialization: trade FLOPs for HBM
+    fused: bool = False   # Pallas fused attention blocks (TPU only)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], neighbors, neighbor_mask,
@@ -182,6 +235,7 @@ class GrappaGNN(nn.Module):
                 self.node_feats, self.n_heads,
                 dropout=self.attention_dropout, layer_norm=self.layer_norm,
                 self_interaction=self.self_interaction, dtype=self.dtype,
+                fused=self.fused,
                 name=f'att_block_{i}')(h, neighbors, neighbor_mask,
                                        deterministic)
 

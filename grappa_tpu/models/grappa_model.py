@@ -78,6 +78,10 @@ def get_default_model_config() -> Dict:
         # ('auto' = on for TPU backends, off on CPU; identical math and an
         # identical checkpoint tree either way — ops/fused_block.py)
         "fused_heads": "auto",
+        # TPU-specific: fused Pallas GNN attention block — everything after
+        # the neighbor gather in one kernel (ops/fused_gnn.py); same
+        # auto/checkpoint contract as fused_heads
+        "fused_gnn": "auto",
         # TPU-specific: layer-wise rematerialization (jax.checkpoint) of the
         # GNN and head transformer blocks — trades recompute FLOPs for HBM,
         # enabling 40k+-atom systems in training on one chip
@@ -128,6 +132,11 @@ class GrappaModel(nn.Module):
             import jax
             fused = jax.default_backend() not in ('cpu',)
         fused = bool(fused) and bool(cfg['layer_norm'])
+        fused_gnn = cfg.get('fused_gnn', 'auto')
+        if fused_gnn == 'auto':
+            import jax
+            fused_gnn = jax.default_backend() not in ('cpu',)
+        fused_gnn = bool(fused_gnn) and bool(cfg['layer_norm'])
         h = GrappaGNN(
             out_feats=cfg['graph_node_features'],
             node_feats=cfg['gnn_width'],
@@ -143,6 +152,7 @@ class GrappaModel(nn.Module):
             self_interaction=cfg['self_interaction'],
             dtype=dtype,
             remat=cfg.get('remat', False),
+            fused=fused_gnn,
             name='gnn',
         )(batch.feats, batch.neighbors, batch.neighbor_mask, deterministic)
 

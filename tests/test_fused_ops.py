@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from grappa_tpu.ops import fused_block as fb
+from grappa_tpu.ops import fused_gnn as fg
 from grappa_tpu.ops import fused_symmetriser as fs
 from grappa_tpu.models.heads import PERMUTATIONS, Symmetriser
 from grappa_tpu.models.layers import TransformerBlock
@@ -22,9 +23,11 @@ from grappa_tpu.models.layers import TransformerBlock
 def _interpret():
     fb.INTERPRET = True
     fs.INTERPRET = True
+    fg.INTERPRET = True
     yield
     fb.INTERPRET = False
     fs.INTERPRET = False
+    fg.INTERPRET = False
 
 
 def _rand_tree(tree, rng, scale=0.08):
@@ -132,6 +135,109 @@ def test_fused_model_matches_unfused_small():
     cfg1 = dict(cfg)
     cfg1['fused_heads'] = True
     m1 = make_model(cfg1)
+    out1 = m1.apply(params, batch, True)
+    for k in out0:
+        np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out0[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_fused_gnn_block_matches_flax():
+    """fused_gnn_block == ResidualAttentionBlock minus the leading LN+fc:
+    forward, input gradients, and every parameter gradient — including an
+    all-masked node (padding atom: masked_softmax must yield ZERO attention,
+    models/layers.py:27-35) and a ragged final tile."""
+    from grappa_tpu.models.gnn import ResidualAttentionBlock
+    from grappa_tpu.ops.fused_block import _ln_fwd
+
+    if True:
+        N, F, H, D = 50, 64, 4, 6       # block_n=32: ragged second tile
+        rng = np.random.default_rng(7)
+        h = jnp.asarray(rng.normal(0, 1, (N, F)), jnp.float32)
+        neighbors = jnp.asarray(rng.integers(0, N, (N, D)), jnp.int32)
+        mask = (rng.random((N, D)) > 0.3).astype(np.float32)
+        mask[-1] = 0.0                  # isolated / padding atom
+        mask = jnp.asarray(mask)
+
+        blk = ResidualAttentionBlock(out_feats=F, num_heads=H, dropout=0.0)
+        params = _rand_tree(
+            blk.init(jax.random.key(0), h, neighbors, mask, True)['params'],
+            rng)
+
+        def flax_apply(h, p):
+            return blk.apply({'params': p}, h, neighbors, mask, True)
+
+        def fused_apply(h, p):
+            hn, _, _ = _ln_fwd(h, p['norm']['scale'], p['norm']['bias'])
+            feat = hn @ p['attention']['fc']['kernel']
+            nbr = feat[neighbors].transpose(1, 0, 2)     # (D, N, F)
+            sub = {k: p[k] for k in ('head_reducer', 'interaction_norm',
+                                     'si_dense1', 'si_dense2')}
+            return fg.fused_gnn_block(feat, nbr, hn, mask.T, sub,
+                                      jnp.uint32(0), H, 0.0, True, None, 32)
+
+        y0 = flax_apply(h, params)
+        y1 = fused_apply(h, params)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-5, atol=2e-5)
+
+        g0 = jax.grad(lambda h, p: jnp.sum(jnp.cos(flax_apply(h, p))),
+                      argnums=(0, 1))(h, params)
+        g1 = jax.grad(lambda h, p: jnp.sum(jnp.cos(fused_apply(h, p))),
+                      argnums=(0, 1))(h, params)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                                   rtol=1e-4, atol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5),
+            g0[1], g1[1])
+
+
+def test_fused_gnn_reference_matches_flax():
+    """The plain-jnp reference of the kernel math also matches flax (guards
+    the test oracle itself)."""
+    from grappa_tpu.models.gnn import ResidualAttentionBlock
+    from grappa_tpu.ops.fused_block import _ln_fwd
+
+    N, F, H, D = 33, 32, 4, 4
+    rng = np.random.default_rng(11)
+    h = jnp.asarray(rng.normal(0, 1, (N, F)), jnp.float32)
+    neighbors = jnp.asarray(rng.integers(0, N, (N, D)), jnp.int32)
+    mask = jnp.asarray((rng.random((N, D)) > 0.5).astype(np.float32))
+    blk = ResidualAttentionBlock(out_feats=F, num_heads=H, dropout=0.0)
+    params = _rand_tree(
+        blk.init(jax.random.key(0), h, neighbors, mask, True)['params'], rng)
+    y0 = blk.apply({'params': params}, h, neighbors, mask, True)
+    hn, _, _ = _ln_fwd(h, params['norm']['scale'], params['norm']['bias'])
+    feat = hn @ params['attention']['fc']['kernel']
+    sub = {k: params[k] for k in ('head_reducer', 'interaction_norm',
+                                  'si_dense1', 'si_dense2')}
+    y1 = fg.reference_gnn_block(feat, feat[neighbors].transpose(1, 0, 2),
+                                hn, mask.T, sub, n_heads=H)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gnn_model_matches_unfused_small():
+    """Whole GrappaModel: fused_gnn=True == False with the SAME param tree
+    (deterministic, interpreter on CPU)."""
+    from grappa_tpu.data import MolGraph, collate
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.models.grappa_model import (get_small_model_config,
+                                                make_model)
+    mds = make_dataset(n_mols=3, n_confs=2, seed=6)
+    batch = collate([MolGraph.from_moldata(m) for m in mds])
+    cfg = get_small_model_config()
+    cfg['fused_heads'] = False
+    cfg['fused_gnn'] = False
+    m0 = make_model(cfg)
+    params = m0.init(jax.random.key(0), batch)
+    out0 = m0.apply(params, batch, True)
+    cfg1 = dict(cfg)
+    cfg1['fused_gnn'] = True
+    m1 = make_model(cfg1)
+    # identical checkpoint tree: init of the fused model matches too
+    params1 = m1.init(jax.random.key(0), batch)
+    assert (jax.tree.structure(params1) == jax.tree.structure(params))
     out1 = m1.apply(params, batch, True)
     for k in out0:
         np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out0[k]),
