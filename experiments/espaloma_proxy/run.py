@@ -111,7 +111,7 @@ def train(epochs: int = 150, out_dir: str = None):
     from grappa_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from grappa_tpu.train.config import read_yaml
-    from grappa_tpu.train.run import do_trainrun
+    from grappa_tpu.train.run import do_trainrun, resume_trainrun
 
     config = read_yaml(HERE.parent / 'benchmark' / 'grappa_config.yaml')
     config['data_config'].update({
@@ -126,8 +126,15 @@ def train(epochs: int = 150, out_dir: str = None):
     config['trainer_config']['max_epochs'] = epochs
     config['trainer_config']['name'] = 'espaloma-proxy'
 
-    out = do_trainrun(config, project_dir=out_dir or str(HERE / 'runs'),
-                      run_name='espaloma-proxy', cache_batches=True)
+    run_dir = Path(out_dir or str(HERE / 'runs')) / 'espaloma-proxy'
+    if (run_dir / 'last.ckpt').exists():
+        # a previous attempt was interrupted (this environment's chip tunnel
+        # drops occasionally) — continue to the stored max_epochs target
+        print(f'resuming interrupted run from {run_dir}/last.ckpt')
+        out = resume_trainrun(str(run_dir), cache_batches=True)
+    else:
+        out = do_trainrun(config, project_dir=str(run_dir.parent),
+                          run_name='espaloma-proxy', cache_batches=True)
     results = out['results']
     # the bootstrap test metrics are stored in the exported model_dict
     from grappa_tpu.train.export import load_model_dict

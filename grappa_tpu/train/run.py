@@ -230,6 +230,14 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
     finally:
         logger.finish()
 
+    return _finalize_run(trainer, model, config, split, test_loader,
+                         run_dir, results)
+
+
+def _finalize_run(trainer, model, config, split, test_loader, run_dir,
+                  results) -> Dict:
+    """Post-fit tail shared by do_trainrun and resume_trainrun: bootstrap
+    test evaluation (if a test loader exists) + model_dict export."""
     final_metrics = (results.get('history', [])[-1]['metrics']
                      if results.get('history') else {})
     if test_loader is not None:
@@ -252,8 +260,13 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
             'run_dir': str(run_dir), 'trainer': trainer}
 
 
-def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
-    """Continue a run from <run_dir>/last.ckpt with the stored config."""
+def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None,
+                    cache_batches: bool = False) -> Dict:
+    """Continue a run from <run_dir>/last.ckpt with the stored config.
+
+    Like do_trainrun, finishes with the bootstrap test evaluation and
+    model.npz export, so a run that completes via resume produces the same
+    artifacts as an uninterrupted one."""
     from grappa_tpu.train.config import read_yaml
     run_dir = Path(run_dir)
     config = read_yaml(run_dir / 'grappa_config.yaml')
@@ -265,7 +278,7 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
             f"resume such runs by calling Trainer.load_checkpoint directly "
             f"with the original dataset")
 
-    train_loader, val_loader, _, _ = get_dataloaders(
+    train_loader, val_loader, test_loader, split = get_dataloaders(
         config['data_config'], None)
     stats = param_statistics_from_graphs(train_loader.dataset.graphs())
     model = make_model(config['model_config'], stats)
@@ -276,7 +289,7 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
     trainer = Trainer(model, params, train_loader, val_loader,
                       config['lit_model_config'], config['trainer_config'],
                       out_dir=str(run_dir), full_config=config,
-                      log_fn=logger.log,
+                      log_fn=logger.log, cache_batches=cache_batches,
                       prng_impl=config['trainer_config'].get(
                           'prng_impl', 'rbg'))
     trainer.load_checkpoint(run_dir / 'last.ckpt')
@@ -286,7 +299,8 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None) -> Dict:
         results = trainer.fit(max_epochs=max_epochs)
     finally:
         logger.finish()
-    return {'results': results, 'run_dir': str(run_dir), 'trainer': trainer}
+    return _finalize_run(trainer, model, config, split, test_loader,
+                         run_dir, results)
 
 
 def safe_trainrun(config: Dict, project_dir: str = 'runs',

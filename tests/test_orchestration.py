@@ -390,3 +390,34 @@ def test_resume_epoch_semantics(tmp_path):
     out3 = resume_trainrun(str(tmp_path / 'runs' / 'resumable'),
                            extra_epochs=2)
     assert out3['trainer'].epoch == 4
+
+
+def test_resume_finalizes_like_do_trainrun(tmp_path):
+    """A run completed via resume_trainrun produces the same artifacts as an
+    uninterrupted one: model.npz export + bootstrap test metrics (the
+    interrupted-run recovery path must not silently skip the evaluation the
+    published workflow depends on; reference Lightning runs always end with
+    trainer.test)."""
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.train.export import load_model_dict
+    from grappa_tpu.train.run import do_trainrun, resume_trainrun
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=8, n_confs=4, seed=11),
+                         'syn-resfin').save(ds_dir)
+    config = _small_config(ds_dir, max_epochs=1)
+    config['data_config']['partition'] = [0.5, 0.25, 0.25]
+    config['trainer_config']['checkpoint_every'] = 1
+    do_trainrun(config, project_dir=str(tmp_path / 'runs'),
+                run_name='resfin')
+
+    out = resume_trainrun(str(tmp_path / 'runs' / 'resfin'), extra_epochs=1,
+                          cache_batches=True)
+    assert out['trainer'].epoch == 2
+    assert Path(out['model_dict_path']).exists()
+    md = load_model_dict(out['model_dict_path'])
+    test_metrics = (md.get('results') or {}).get('test')
+    assert test_metrics, 'resume must run the bootstrap test evaluation'
+    # per-subdataset metric dict with bootstrap stats
+    sub = next(iter(test_metrics.values()))
+    assert any('rmse' in k for k in sub), sub
