@@ -31,6 +31,14 @@ def main():
     parser.add_argument('--te_smiles', type=str, default=None,
                         help='test smiles json to rebuild the split from')
     parser.add_argument('--vl_smiles', type=str, default=None)
+    # sampling-weight scans (reference: experiments/benchmark_experiments/
+    # train.py -o/-s + submit_opt_scan.py): upweight the optimization-
+    # trajectory datasets (gen2/pepconf-dlc) or the torsion-scan datasets
+    # (gen2-torsion/protein-torsion) in the weighted loader
+    parser.add_argument('-o', '--opt_weight', type=float, default=1.0,
+                        help='sampling weight for the opt datasets')
+    parser.add_argument('-s', '--scan_weight', type=float, default=1.0,
+                        help='sampling weight for the torsion-scan datasets')
     args = parser.parse_args()
 
     from grappa_tpu.train.config import read_yaml
@@ -64,6 +72,17 @@ def main():
         config['data_config']['train_batch_size'] = args.train_batch
     if args.val_batch > 0:
         config['data_config']['val_batch_size'] = args.val_batch
+
+    name = config['trainer_config'].get('name') or 'benchmark'
+    if args.opt_weight != 1.0:
+        name += f'_opt{args.opt_weight:g}'
+        for d in ('gen2', 'pepconf-dlc'):
+            config['data_config']['weights'][d] = args.opt_weight
+    if args.scan_weight != 1.0:
+        name += f'_scan{args.scan_weight:g}'
+        for d in ('gen2-torsion', 'protein-torsion'):
+            config['data_config']['weights'][d] = args.scan_weight
+    config['trainer_config']['name'] = name
 
     do_trainrun(config, project_dir=args.project, cache_batches=True)
 

@@ -107,7 +107,8 @@ def cmd_eval(argv):
     p.add_argument('--n-bootstrap', type=int, default=1000)
     p.add_argument('-o', '--output', default=None, help='results json path')
     p.add_argument('--plots', default=None, metavar='DIR',
-                   help='write per-dataset parameter scatter/violin plots')
+                   help='write per-dataset parameter scatter/violin plots '
+                        'and predicted-vs-QM energy/force scatter plots')
     p.add_argument('--no-write', action='store_true',
                    help="don't write results back into the model file")
     args = p.parse_args(argv)

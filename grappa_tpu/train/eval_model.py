@@ -192,6 +192,115 @@ def parameter_scatter_plots(model, params, dataset: Dataset, plot_dir,
     return written
 
 
+def prediction_scatter_plots(model, params, dataset: Dataset, plot_dir,
+                             max_points: int = 20000,
+                             with_classical: bool = True):
+    """Per-dataset predicted-vs-QM scatter plots for centered energies and
+    gradient components, with classical force fields stored in the entries
+    overlaid for comparison (reference:
+    experiments/evaluation/grappa-1.1/scatter_plots.py).
+
+    Molecules are evaluated one by one with 32-multiple shape bucketing so
+    the jit cache stays small. Gradient clouds are subsampled to max_points
+    per dataset."""
+    from pathlib import Path
+
+    import jax
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from grappa_tpu.data import MolGraph, collate
+    from grappa_tpu.data.graph_batch import PadSpec
+    from grappa_tpu.models import mm_energy
+
+    plot_dir = Path(plot_dir)
+    plot_dir.mkdir(parents=True, exist_ok=True)
+
+    @jax.jit
+    def step(params, batch):
+        pred = model.apply(params, batch)
+        return mm_energy.energy_and_gradient(batch, pred)
+
+    by_ds: Dict[str, Dict[str, list]] = defaultdict(
+        lambda: defaultdict(list))
+    for entry, ds_name in zip(dataset.entries, dataset.ds_names):
+        g = MolGraph.from_moldata(entry)
+        n_confs = entry.xyz.shape[0]
+        n_atoms = entry.xyz.shape[1]
+        pad = PadSpec.for_graphs([g], n_confs, node_mult=32, tuple_mult=32)
+        batch = collate([g], pad=pad)
+        energy, gradient = step(params, batch)
+        e = np.asarray(energy)[0, :n_confs]
+        grad = np.asarray(gradient)[:n_atoms, :n_confs].transpose(1, 0, 2)
+        d = by_ds[ds_name]
+        d['e_pred'].append(e - e.mean())
+        d['e_qm'].append(entry.energy_ref - entry.energy_ref.mean())
+        d['g_pred'].append(grad.ravel())
+        d['g_qm'].append(entry.gradient_ref.ravel())
+        if with_classical:
+            for ff, fe in entry.ff_energy.items():
+                if ff == 'qm':
+                    continue
+                d[f'e_{ff}'].append(np.asarray(fe) - np.asarray(fe).mean())
+                fg = entry.ff_gradient.get(ff)
+                if fg is not None:
+                    d[f'g_{ff}'].append(np.asarray(fg).ravel())
+
+    written = []
+    series_color, classical_color = '#3b6fb6', '#c33d3d'
+    for ds_name, d in by_ds.items():
+        e_qm = np.concatenate(d['e_qm'])
+        e_pred = np.concatenate(d['e_pred'])
+        g_qm = np.concatenate(d['g_qm'])
+        g_pred = np.concatenate(d['g_pred'])
+        rng = np.random.default_rng(0)
+        idx = (rng.choice(len(g_qm), max_points, replace=False)
+               if len(g_qm) > max_points else slice(None))
+        classical_ffs = sorted({k[2:] for k in d if k.startswith('e_')
+                                and k not in ('e_pred', 'e_qm')})
+
+        fig, axes = plt.subplots(1, 2, figsize=(9.5, 4.6))
+        for ax, qm, pred, label, unit in (
+                (axes[0], e_qm, e_pred, 'energy', 'kcal/mol'),
+                (axes[1], g_qm[idx], g_pred[idx], 'force components',
+                 'kcal/mol/A')):
+            lo = min(qm.min(), pred.min())
+            hi = max(qm.max(), pred.max())
+            ax.plot([lo, hi], [lo, hi], color='0.6', ls='--', lw=1,
+                    zorder=0)
+            rmse = float(np.sqrt(np.mean((pred - qm) ** 2)))
+            ax.scatter(qm, pred, s=5, alpha=0.4, color=series_color,
+                       label=f'grappa_tpu (RMSE {rmse:.2f})', lw=0)
+            for ff in classical_ffs:
+                key = f'{"e" if label == "energy" else "g"}_{ff}'
+                if key in d:
+                    vals = np.concatenate(d[key])
+                    vidx = (idx if label != 'energy'
+                            and np.shape(vals) == np.shape(g_qm)
+                            else slice(None))
+                    ref = e_qm if label == 'energy' else g_qm[vidx]
+                    vals = vals[vidx] if label != 'energy' else vals
+                    if len(vals) != len(ref):
+                        continue
+                    ff_rmse = float(np.sqrt(np.mean((vals - ref) ** 2)))
+                    ax.scatter(ref, vals, s=5, alpha=0.35,
+                               color=classical_color,
+                               label=f'{ff} (RMSE {ff_rmse:.2f})', lw=0)
+            ax.set_xlabel(f'QM {label} [{unit}]')
+            ax.set_ylabel(f'predicted {label} [{unit}]')
+            ax.grid(alpha=0.25, lw=0.5)
+            ax.spines[['top', 'right']].set_visible(False)
+            ax.legend(frameon=False, fontsize=8, loc='upper left')
+        fig.suptitle(ds_name)
+        fig.tight_layout()
+        path = plot_dir / f'{ds_name}_prediction_scatter.png'
+        fig.savefig(path, dpi=160)
+        plt.close(fig)
+        written.append(str(path))
+    return written
+
+
 def eval_model(model, params, dataset: Dataset, batch_size: int = None,
                conf_strategy='max', n_bootstrap: int = 1000,
                classical: bool = False,
@@ -222,6 +331,8 @@ def eval_model(model, params, dataset: Dataset, batch_size: int = None,
     if classical:
         results.update(classical_ff_metrics(dataset, n_bootstrap=n_bootstrap))
     if plot_dir is not None:
-        results['plots'] = parameter_scatter_plots(model, params, dataset,
-                                                   plot_dir, config)
+        results['plots'] = (
+            parameter_scatter_plots(model, params, dataset, plot_dir,
+                                    config)
+            + prediction_scatter_plots(model, params, dataset, plot_dir))
     return results

@@ -1,0 +1,140 @@
+"""Experiment-harness tests: the ablation driver's config mutations
+(reference experiments/ablation/train.py flag surface) actually produce
+runnable architectures, and the learning-curve harness (reference
+experiments/benchmark_experiments/submit_lc.py + evaluation/lc_benchmark)
+collects per-factor test metrics."""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent / 'experiments'))
+
+from grappa_tpu.data import MolGraph, collate
+from grappa_tpu.data.dataset import Dataset
+from grappa_tpu.data.synthetic import make_dataset, make_moldata
+from grappa_tpu.models.grappa_model import (get_small_model_config,
+                                            make_model)
+from grappa_tpu.statistics import param_statistics_from_graphs
+
+
+def _args(**flags):
+    from ablation.train import build_parser
+    defaults = build_parser().parse_args([])
+    for k, v in flags.items():
+        setattr(defaults, k, v)
+    return defaults
+
+
+def test_ablation_config_mutations():
+    from ablation.train import main
+    cfg = main(argv=['--wrong_symmetry', '--no_gnn_attention',
+                     '--with_hybridization', '--no_gated_torsion'],
+               dry_run=True)
+    mc = cfg['model_config']
+    assert mc['wrong_symmetry'] is True
+    assert mc['gnn_attentional_layers'] == 0
+    assert mc['gnn_convolutions'] > 0          # folded, not dropped
+    assert 'sp_hybridization' in mc['in_feat_name']
+    assert mc['gated_torsion'] is False
+    assert cfg['trainer_config']['name'] == (
+        'ablation_hybrid_wrong_sym_no_gnn_att_no_gated_torsion')
+
+
+def test_ablation_param_attention_fold():
+    from ablation.train import main
+    base = main(argv=[], dry_run=True)['model_config']
+    cfg = main(argv=['--no_param_attention'], dry_run=True)['model_config']
+    for term in ('bond', 'angle', 'proper', 'improper'):
+        assert cfg[f'{term}_transformer_depth'] == 0
+        assert cfg[f'{term}_symmetriser_depth'] == (
+            base[f'{term}_symmetriser_depth']
+            + base[f'{term}_transformer_depth'])
+
+
+def test_ablation_unimplemented_flags():
+    from ablation.train import main
+    with pytest.raises(NotImplementedError):
+        main(argv=['--no_scaling'], dry_run=True)
+    with pytest.raises(NotImplementedError):
+        main(argv=['--exp_to_range'], dry_run=True)
+
+
+@pytest.mark.parametrize('flags', [
+    {'no_param_attention': True},
+    {'no_gnn': True},
+    {'no_positional_encoding': True, 'harmonic_gate': True},
+])
+def test_ablated_architectures_run(flags):
+    """Every ablated architecture must init + apply (the reference only
+    mutates configs; a flag combination that cannot build would fail at
+    job time)."""
+    from ablation.train import ablated_config
+    config = {'model_config': get_small_model_config(),
+              'trainer_config': {}}
+    config = ablated_config(config, _args(**flags))
+
+    md = make_moldata(seed=3, n_confs=2)
+    g = MolGraph.from_moldata(md)
+    batch = collate([g])
+    stats = param_statistics_from_graphs([g])
+    model = make_model(config['model_config'], stats)
+    params = model.init(jax.random.key(0), batch)
+    pred = model.apply(params, batch)
+    assert np.isfinite(np.asarray(pred['n2_k'])).all()
+
+
+def test_learning_curve_harness(tmp_path):
+    """run_lc trains at several subsampling factors and records monotone
+    train-mol counts + per-subdataset test metrics; results are cached so
+    a rerun adds only missing factors (resumable sweeps)."""
+    from lc.run_lc import run_lc
+
+    from grappa_tpu.models.grappa_model import get_small_model_config
+    from grappa_tpu.train.config import default_config, overwrite_config
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=12, n_confs=4, seed=5,
+                                      learnable=True),
+                         'syn-lc').save(ds_dir)
+    config = default_config()
+    overwrite_config({
+        'model_config': get_small_model_config(),
+        'data_config': {
+            'datasets': [str(ds_dir)],
+            'conf_strategy': 4, 'val_conf_strategy': 4,
+            'train_batch_size': 2, 'val_batch_size': 4,
+            'partition': [0.5, 0.25, 0.25],
+            'pure_train_datasets': [], 'pure_val_datasets': [],
+            'weights': {},
+        },
+        'lit_model_config': {'lr': 2e-4, 'start_qm_epochs': 0,
+                             'warmup_steps': 2},
+        'trainer_config': {'max_epochs': 1, 'checkpoint_every': 1},
+        'test_model': False,
+    }, config)
+
+    results_path = tmp_path / 'lc_results.json'
+    results = run_lc(factors=[1.0, 0.5], epochs=1,
+                     out_dir=str(tmp_path / 'runs'),
+                     datasets=[str(ds_dir)],
+                     results_path=str(results_path), config=config)
+    assert set(results) == {'lc_1', 'lc_0.5'}
+    assert results['lc_0.5']['train_mols'] < results['lc_1']['train_mols']
+    for entry in results.values():
+        assert entry['test'], entry
+        sub = next(iter(entry['test'].values()))
+        assert 'rmse_energies' in sub
+
+    # cached: rerun with one extra factor only trains the new one
+    stored = json.loads(results_path.read_text())
+    results2 = run_lc(factors=[1.0, 0.5], epochs=1,
+                      out_dir=str(tmp_path / 'runs'),
+                      datasets=[str(ds_dir)],
+                      results_path=str(results_path), config=config)
+    assert {k: v['train_mols'] for k, v in results2.items()} == \
+        {k: v['train_mols'] for k, v in stored.items()}

@@ -88,6 +88,8 @@ def test_do_trainrun_end_to_end(tmp_path):
     # parameter scatter + violin plots written per dataset
     assert (plot_dir / 'syn_parameter_comparison.png').exists()
     assert (plot_dir / 'syn_parameters.png').exists()
+    # prediction-vs-QM scatter (reference grappa-1.1/scatter_plots.py)
+    assert (plot_dir / 'syn_prediction_scatter.png').exists()
     # results stored back into the model file (reference grappa_eval)
     from grappa_tpu.train.export import load_model_dict
     stored = load_model_dict(out['model_dict_path'])
