@@ -195,8 +195,39 @@ def _perf(sec: float, flops: float):
     }
 
 
+def wait_for_backend(budget_s: float = 900.0) -> bool:
+    """Gate on TPU availability: the chip tunnel occasionally drops, failing
+    either fast (backend-init RuntimeError) or by hanging in PJRT init.
+    Probe in a subprocess (so a hang can be killed) with retries for up to
+    budget_s before letting the real run proceed."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + budget_s
+    first = True
+    while time.time() < deadline:
+        try:
+            rc = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; jax.numpy.zeros(()).block_until_ready()'],
+                timeout=180, capture_output=True).returncode
+            if rc == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print('# TPU backend unavailable; retrying up to '
+                  f'{budget_s / 60:.0f} min', file=sys.stderr)
+            first = False
+        time.sleep(45)
+    print('# TPU backend still unavailable after the retry budget; '
+          'attempting the run anyway', file=sys.stderr)
+    return False
+
+
 def main():
     from grappa_tpu.utils import enable_compilation_cache
+    wait_for_backend()
     enable_compilation_cache()
 
     batch, _ = build_batch()
