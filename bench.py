@@ -152,6 +152,7 @@ def measure_jax(batch, n_steps=100, n_warmup=10, compute_dtype='float32'):
     # MFU either. This counts algorithmic flops only (conservative).
     flops_cfg = dict(cfg)
     flops_cfg['fused_heads'] = False
+    flops_cfg['fused_gnn'] = False
     step_dense = make_train_step(make_model(flops_cfg), tx)
     flops = _compiled_flops(step_dense,
                             (params, opt_state, batch, weights, lr, rng))

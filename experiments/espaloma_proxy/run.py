@@ -129,7 +129,14 @@ def train(epochs: int = 150, out_dir: str = None):
     run_dir = Path(out_dir or str(HERE / 'runs')) / 'espaloma-proxy'
     if (run_dir / 'last.ckpt').exists():
         # a previous attempt was interrupted (this environment's chip tunnel
-        # drops occasionally) — continue to the stored max_epochs target
+        # drops occasionally) — continue to the requested absolute epoch
+        # target (update the stored config if --epochs changed it)
+        from grappa_tpu.train.config import write_yaml
+        stored = read_yaml(run_dir / 'grappa_config.yaml')
+        if int(stored['trainer_config'].get('max_epochs', 0)) != epochs:
+            stored['trainer_config']['max_epochs'] = epochs
+            write_yaml(stored, run_dir / 'grappa_config.yaml')
+            print(f'updated stored max_epochs -> {epochs}')
         print(f'resuming interrupted run from {run_dir}/last.ckpt')
         out = resume_trainrun(str(run_dir), cache_batches=True)
     else:

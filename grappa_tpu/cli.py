@@ -74,7 +74,9 @@ def cmd_resume_all(argv):
         meta = json.loads(meta_path.read_text())
         config = read_yaml(run_dir / 'grappa_config.yaml')
         target = int(config['trainer_config'].get('max_epochs', 100))
-        done_epochs = int(meta.get('epoch', -1)) + 1
+        # meta['epoch'] IS the number of completed epochs (the fit loop
+        # increments before checkpointing)
+        done_epochs = int(meta.get('epoch', 0))
         if done_epochs >= target and (run_dir / 'model.npz').exists():
             skipped.append({'run': run_dir.name, 'reason': 'finished'})
             continue
@@ -87,7 +89,8 @@ def cmd_resume_all(argv):
     for item in todo:
         print(f"resuming {item['run']} "
               f"({item['epochs_done']}/{item['target']} epochs)")
-        resume_trainrun(str(project / item['run']))
+        # device-resident batches: required for throughput on tunneled chips
+        resume_trainrun(str(project / item['run']), cache_batches=True)
 
 
 def cmd_eval(argv):

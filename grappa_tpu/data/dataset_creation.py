@@ -148,7 +148,9 @@ def peptide_dataset_from_pdb_npz(source_path, target_path,
     source_path, target_path = Path(source_path), Path(target_path)
     target_path.mkdir(parents=True, exist_ok=True)
     ff = get_openmm_forcefield(forcefield)
-    ff_name = forcefield.rstrip('*').rstrip('-star')
+    # suffix removal, NOT rstrip (which strips a character set and would
+    # mangle names ending in '-', 's', 't', 'a', or 'r')
+    ff_name = forcefield.removesuffix('*').removesuffix('-star')
     stats = {'total': 0, 'written': 0, 'skipped': 0, 'errors': 0,
              'confs': 0}
     for molfile in sorted(source_path.iterdir()):

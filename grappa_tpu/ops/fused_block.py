@@ -55,6 +55,14 @@ PARAM_ORDER = (
 )
 
 
+def _elu(a):
+    return jnp.where(a > 0, a, jnp.exp(jnp.minimum(a, 0.0)) - 1.0)
+
+
+def _elu_grad(a):
+    return jnp.where(a > 0, 1.0, jnp.exp(jnp.minimum(a, 0.0)))
+
+
 def _get(tree, path):
     for k in path:
         tree = tree[k]
@@ -189,7 +197,7 @@ def _forward_body(x0, params, reduce_r, *, s, n_heads, rate, deterministic,
     x1 = attn1 + xn
     x1n, xhat2, inv2 = _ln_fwd(x1, g2, b2)
     a = _dot(x1n, w1, mm_dtype) + c1
-    e = jnp.where(a > 0, a, jnp.exp(jnp.minimum(a, 0.0)) - 1.0)
+    e = _elu(a)
     h = _dot(e, w2, mm_dtype) + c2
     if not deterministic:
         mask2 = _dropout_mask(h.shape, rate)
@@ -250,7 +258,7 @@ def _bwd_kernel(seed_ref, x_ref, dy_ref, *refs, s, n_heads, rate,
     dc2 = jnp.sum(dh_, axis=0, keepdims=True)
     de = _dot_nt(dh_, w2, mm_dtype)
     a = pk['a']
-    da = de * jnp.where(a > 0, 1.0, jnp.exp(jnp.minimum(a, 0.0)))
+    da = de * _elu_grad(a)
     dw1 = _dot_tn(pk['x1n'], da, mm_dtype)
     dc1 = jnp.sum(da, axis=0, keepdims=True)
     dx1n = dy + _dot_nt(da, w1, mm_dtype)
@@ -476,6 +484,6 @@ def reference_block(x_stf, params, n_heads=8):
     x1 = attn1 + xn
     x1n, _, _ = _ln_fwd(x1, g2, b2)
     a = x1n @ w1 + c1
-    e = jnp.where(a > 0, a, jnp.exp(jnp.minimum(a, 0.0)) - 1.0)
+    e = _elu(a)
     h = e @ w2 + c2
     return (h + x1n).reshape(s, t, f)

@@ -46,8 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from grappa_tpu.ops.fused_block import (_dot, _dot_nt, _dot_tn,
-                                        _dropout_mask, _ln_bwd, _ln_fwd,
-                                        _reduce_matrix)
+                                        _dropout_mask, _elu, _elu_grad,
+                                        _ln_bwd, _ln_fwd, _reduce_matrix)
 
 # tests flip this to run the kernels in the Pallas interpreter (CPU)
 INTERPRET = False
@@ -82,12 +82,6 @@ def unflatten_grads(flat):
     return tree
 
 
-def _elu(a):
-    return jnp.where(a > 0, a, jnp.exp(jnp.minimum(a, 0.0)) - 1.0)
-
-
-def _elu_grad(a):
-    return jnp.where(a > 0, 1.0, jnp.exp(jnp.minimum(a, 0.0)))
 
 
 def _attention(feat, nbrs, masks, reduce_r, dh, mm_dtype):

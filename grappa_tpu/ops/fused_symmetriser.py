@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from grappa_tpu.ops.fused_block import (
-    LN_EPS, _dot, _dot_nt, _dot_tn, _ln_bwd, _ln_fwd)
+    LN_EPS, _dot, _dot_nt, _dot_tn, _elu, _elu_grad, _ln_bwd, _ln_fwd,
+    _pad_t)
 
 # tests flip this to run the kernels in the Pallas interpreter (CPU)
 INTERPRET = False
@@ -77,7 +78,7 @@ def _ff_chain_fwd(h, layer_params, skips, mm_dtype):
     for (g, b, w1, c1, w2, c2), skip in zip(layer_params, skips):
         hn, xhat, inv = _ln_fwd(h, g, b)
         a = _dot(hn, w1, mm_dtype) + c1
-        e = jnp.where(a > 0, a, jnp.exp(jnp.minimum(a, 0.0)) - 1.0)
+        e = _elu(a)
         o = _dot(e, w2, mm_dtype) + c2
         # NB: the skip adds the *normalized* input (layers.py FeedForward
         # reassigns x to the LN output before the skip)
@@ -97,7 +98,7 @@ def _ff_chain_bwd(dy, packs, layer_params, skips, mm_dtype):
         dw2 = _dot_tn(e, do, mm_dtype)
         dc2 = jnp.sum(do, axis=0, keepdims=True)
         de = _dot_nt(do, w2, mm_dtype)
-        da = de * jnp.where(a > 0, 1.0, jnp.exp(jnp.minimum(a, 0.0)))
+        da = de * _elu_grad(a)
         dw1 = _dot_tn(hn, da, mm_dtype)
         dc1 = jnp.sum(da, axis=0, keepdims=True)
         dhn = _dot_nt(da, w1, mm_dtype)
@@ -156,14 +157,6 @@ def _bwd_kernel(x_ref, dy_ref, *refs, perms, n_layers, mm_dtype):
     def _():
         for ref, g in zip(grad_refs, grad_acc):
             ref[:] = ref[:] + g
-
-
-def _pad_t(x, block_t):
-    t = x.shape[1]
-    t_pad = -(-t // block_t) * block_t
-    if t_pad == t:
-        return x, t
-    return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0))), t
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

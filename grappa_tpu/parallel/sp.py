@@ -18,6 +18,7 @@ Usage:
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Sequence
 
 import jax
@@ -77,7 +78,8 @@ def shard_batch_by_atoms(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
     return jax.device_put(batch, shardings)
 
 
-def make_atom_sharded_train_step(model, tx, mesh: Mesh) -> Callable:
+def make_atom_sharded_train_step(model, tx, mesh: Mesh,
+                                 donate: bool = True) -> Callable:
     """Full TRAINING step (grad-of-grad loss through the forces) on an
     atom-sharded batch: (params, opt_state, batch, weights, lr, rng) ->
     (params, opt_state, loss, aux).
@@ -96,7 +98,10 @@ def make_atom_sharded_train_step(model, tx, mesh: Mesh) -> Callable:
 
     rep = NamedSharding(mesh, P())
 
-    @jax.jit
+    # donate params/opt_state like make_train_step (trainer.py): the
+    # sharded step exists because HBM is the constraint, so don't hold a
+    # second optimizer-state copy across the update
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, batch: GraphBatch, weights, lr, rng):
         def loss_fn(p):
             pred = model.apply(p, batch, deterministic=False,

@@ -242,10 +242,21 @@ def prediction_scatter_plots(model, params, dataset: Dataset, plot_dir,
             for ff, fe in entry.ff_energy.items():
                 if ff == 'qm':
                     continue
-                d[f'e_{ff}'].append(np.asarray(fe) - np.asarray(fe).mean())
+                # bonded-only comparison, like classical_ff_metrics: the
+                # stored classical energies are totals; the targets are
+                # bonded-only, so subtract the stored nonbonded part
+                fe = np.asarray(fe, np.float64)
+                nb = entry.ff_nonbonded_energy.get(ff)
+                if nb is not None:
+                    fe = fe - np.asarray(nb, np.float64)
+                d[f'e_{ff}'].append(fe - fe.mean())
                 fg = entry.ff_gradient.get(ff)
                 if fg is not None:
-                    d[f'g_{ff}'].append(np.asarray(fg).ravel())
+                    fg = np.asarray(fg, np.float64)
+                    nbg = entry.ff_nonbonded_gradient.get(ff)
+                    if nbg is not None:
+                        fg = fg - np.asarray(nbg, np.float64)
+                    d[f'g_{ff}'].append(fg.ravel())
 
     written = []
     series_color, classical_color = '#3b6fb6', '#c33d3d'

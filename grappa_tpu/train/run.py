@@ -50,7 +50,19 @@ def load_datasets(tags: List[str]) -> Dataset:
 def resolve_splitpath(splitpath) -> Path:
     """A splitpath may be a json file or a dataset-zoo tag (reference
     get_dataloaders.py:91-99: non-existent paths are resolved as tags whose
-    cached directory holds a split.json, e.g. splitpath='espaloma_split')."""
+    cached directory holds a split.json, e.g. splitpath='espaloma_split').
+
+    Candidate jsons must actually contain a train/val/test partition —
+    otherwise an unrelated json in the tag directory (e.g. a dataset
+    manifest) would be accepted and yield a silent fresh random split."""
+    def _is_split(path: Path) -> bool:
+        try:
+            d = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        return isinstance(d, dict) and any(
+            k in d for k in ('train', 'val', 'test'))
+
     path = Path(splitpath)
     if path.exists():
         return path
@@ -58,11 +70,11 @@ def resolve_splitpath(splitpath) -> Path:
     candidates = [tag_path / 'split.json', tag_path / 'espaloma_split.json']
     candidates += sorted(tag_path.glob('*.json'))
     for cand in candidates:
-        if cand.exists():
+        if cand.exists() and _is_split(cand):
             return cand
     raise FileNotFoundError(
         f"splitpath {splitpath!r} is neither a file nor a tag directory "
-        f"containing a split json ({tag_path})")
+        f"containing a split json with train/val/test keys ({tag_path})")
 
 
 def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None

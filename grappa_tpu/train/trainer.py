@@ -353,6 +353,11 @@ class Trainer:
                         self.epochs_without_improvement = 0
                         self.plateau_baseline = es_loss
 
+            # the epoch is COMPLETE here — count it before any early exit,
+            # so the final checkpoint records it and a resume does not
+            # retrain it
+            self.epoch += 1
+
             elapsed_h = (time.time() - start_time + self.elapsed_time) / 3600.0
             relevant = [v for k, v in finish_criterion.items() if k < elapsed_h]
             if relevant and es_loss > min(relevant):
@@ -360,7 +365,6 @@ class Trainer:
             if time_limit_h is not None and elapsed_h > time_limit_h:
                 break
 
-            self.epoch += 1
             if self.out_dir and self.epoch % ckpt_every == 0:
                 self.save_checkpoint(self.out_dir / 'last.ckpt')
 

@@ -243,8 +243,11 @@ def test_resume_all_scan(tmp_path, capsys):
         if exported:
             (d / 'model.npz').write_bytes(b'x')
 
+    # meta['epoch'] IS the completed-epoch count (fit increments before
+    # checkpointing): target reached only at epoch == target
     fake_run('unfinished', epoch=4, target=10, exported=False)
-    fake_run('finished', epoch=9, target=10, exported=True)
+    fake_run('almost', epoch=9, target=10, exported=True)
+    fake_run('finished', epoch=10, target=10, exported=True)
     fake_run('excluded', epoch=1, target=10, exported=False)
     (tmp_path / 'proj' / 'no_ckpt').mkdir()
 
@@ -252,8 +255,9 @@ def test_resume_all_scan(tmp_path, capsys):
                '--except', 'excluded', '--dry-run'])
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
-    assert [t['run'] for t in out['to_resume']] == ['unfinished']
-    assert out['to_resume'][0]['epochs_done'] == 5
+    assert [t['run'] for t in out['to_resume']] == ['almost', 'unfinished']
+    done = {t['run']: t['epochs_done'] for t in out['to_resume']}
+    assert done == {'almost': 9, 'unfinished': 4}
     reasons = {s['run']: s['reason'] for s in out['skipped']}
     assert reasons == {'finished': 'finished', 'excluded': 'excluded',
                        'no_ckpt': 'no checkpoint'}

@@ -289,3 +289,33 @@ def test_plateau_decay_keeps_monotone_best(tmp_path, monkeypatch):
         (tmp_path / 'run' / 'last.ckpt' / 'meta.json').read_text())
     assert meta['best_loss'] == 9.0
     assert meta['plateau_baseline'] == 9.0
+
+
+def test_early_exit_counts_completed_epoch(tmp_path):
+    """A finish_criterion/time_limit exit happens AFTER an epoch completed;
+    the final checkpoint must record that epoch so a resume does not retrain
+    it (meta['epoch'] == number of completed epochs == len(history))."""
+    import json
+
+    mds = make_dataset(n_mols=4, n_confs=4, seed=6)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=2, conf_strategy=4, shuffle=True,
+                         seed=0, drop_last=True)
+    val_loader = GraphLoader(ds, batch_size=2, conf_strategy=4,
+                             shuffle=False)
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+
+    lit_cfg = {'lr': 2e-4, 'start_qm_epochs': 0, 'warmup_steps': 2,
+               'time_limit': 1e-9}     # exit after the first epoch
+    trainer = Trainer(model, params, loader, val_loader, lit_cfg,
+                      {'max_epochs': 10, 'checkpoint_every': 1},
+                      out_dir=str(tmp_path / 'run'))
+    out = trainer.fit()
+    done = len(out['history'])
+    assert done >= 1
+    assert trainer.epoch == done
+    meta = json.loads(
+        (tmp_path / 'run' / 'last.ckpt' / 'meta.json').read_text())
+    assert meta['epoch'] == done
