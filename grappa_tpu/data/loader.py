@@ -19,10 +19,11 @@ from grappa_tpu.data.graph_batch import (
 
 
 def bucket_size(x: int, base: int, ratio: float = 1.25) -> int:
-    """Smallest ladder value >= x; ladder = base, then *ratio rounded to 8."""
+    """Smallest ladder value >= x; ladder = base, then *ratio rounded to 8.
+    Always advances by at least 8 per rung so ratio <= 1.0 cannot hang."""
     s = base
     while s < x:
-        s = int(np.ceil(s * ratio / 8) * 8)
+        s = max(int(np.ceil(s * ratio / 8) * 8), s + 8)
     return s
 
 
@@ -58,8 +59,14 @@ class GraphLoader:
         XLA compile. Sequential loaders default to per-batch buckets (less
         padding; shape sequence is deterministic anyway)."""
         assert 0.0 <= balance_factor <= 1.0
-        if weights and not shuffle:
-            raise ValueError("sampling weights require shuffle=True")
+        if pad_ratio < 1.0:
+            raise ValueError(f"pad_ratio must be >= 1.0, got {pad_ratio}")
+        if (weights or balance_factor > 0.0) and not shuffle:
+            # weighted/balanced draws sample WITH replacement — meaningless
+            # for a sequential loader (reference only balances shuffled
+            # training loaders, GraphDataLoader.py:101)
+            raise ValueError(
+                "sampling weights / balance_factor require shuffle=True")
         self.dataset = dataset
         self.batch_size = batch_size
         self.conf_strategy = conf_strategy
@@ -71,21 +78,32 @@ class GraphLoader:
         self.pad_ratio = pad_ratio
         self.fixed_pad = shuffle if fixed_pad is None else fixed_pad
         self._fixed_spec: Optional[PadSpec] = None
+        self._fixed_confs: Optional[int] = None
         self._rng = np.random.default_rng(seed)
         self._sample_weights = self._compute_sample_weights()
 
     def _fixed_pad_spec(self, n_confs: int) -> PadSpec:
-        """Worst-case batch PadSpec: the batch_size largest molecules per
-        axis, bucket-rounded (computed once per loader)."""
+        """Worst-case batch PadSpec, bucket-rounded (computed once per
+        loader). Uniform sampling: the batch_size largest DISTINCT
+        molecules per axis. Weighted/balanced sampling draws WITH
+        replacement, so a batch can contain the largest molecule several
+        times — the worst case is then batch_size copies of the largest."""
         if self._fixed_spec is None or self._fixed_spec.n_confs != n_confs:
             graphs = [self.dataset.graph(i) for i in range(len(self.dataset))]
             bs = min(self.batch_size, max(1, len(graphs)))
-            atoms = sorted((g.n_atoms for g in graphs), reverse=True)[:bs]
+            with_replacement = self._sample_weights is not None
+            if with_replacement:
+                atoms = [max(g.n_atoms for g in graphs)] * bs
+            else:
+                atoms = sorted((g.n_atoms for g in graphs), reverse=True)[:bs]
             n_nodes = bucket_size(sum(atoms), 64, self.pad_ratio)
             n_tuples = {}
             for t in TERMS:
-                counts = sorted((len(g.tuple_idxs[t]) for g in graphs),
-                                reverse=True)[:bs]
+                if with_replacement:
+                    counts = [max(len(g.tuple_idxs[t]) for g in graphs)] * bs
+                else:
+                    counts = sorted((len(g.tuple_idxs[t]) for g in graphs),
+                                    reverse=True)[:bs]
                 n_tuples[t] = bucket_size(max(1, sum(counts)), 64,
                                           self.pad_ratio)
             self._fixed_spec = PadSpec(n_nodes=n_nodes, n_tuples=n_tuples,
@@ -122,15 +140,19 @@ class GraphLoader:
 
     def _fixed_conf_count(self) -> int:
         """Dataset-wide conformer count for fixed-pad mode (one value for
-        every batch of this loader)."""
-        max_confs = max((self.dataset.graph(i).n_confs
-                         for i in range(len(self.dataset))), default=1)
-        s = self.conf_strategy
-        if isinstance(s, int):
-            n = min(s, max_confs)
-        else:
-            n = max_confs
-        return bucket_size(max(1, n), self.conf_bucket_base, self.pad_ratio)
+        every batch of this loader; constant, so cached — the scan over the
+        dataset is O(n) host time)."""
+        if self._fixed_confs is None:
+            max_confs = max((self.dataset.graph(i).n_confs
+                             for i in range(len(self.dataset))), default=1)
+            s = self.conf_strategy
+            if isinstance(s, int):
+                n = min(s, max_confs)
+            else:
+                n = max_confs
+            self._fixed_confs = bucket_size(max(1, n), self.conf_bucket_base,
+                                            self.pad_ratio)
+        return self._fixed_confs
 
     def _batch_conf_count(self, graphs: Sequence[MolGraph]) -> int:
         confs = [g.n_confs for g in graphs]
@@ -176,23 +198,43 @@ class GraphLoader:
 
         q: 'queue.Queue' = queue.Queue(maxsize=2)
         _sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone (an
+            abandoned epoch iterator must not leave a thread blocked on a
+            full queue, leaking batches and racing the next epoch's
+            producer on the shared RNG)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idxs in chunks:
-                    q.put(self._make_batch(idxs))
+                    if stop.is_set() or not _put(self._make_batch(idxs)):
+                        return
             except BaseException as exc:  # surface errors to the consumer
-                q.put(exc)
+                _put(exc)
             finally:
-                q.put(_sentinel)
+                _put(_sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is _sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # normal end, consumer break, or GeneratorExit: release the
+            # producer and wait for it so the next epoch starts clean
+            stop.set()
+            thread.join(timeout=10.0)

@@ -69,19 +69,22 @@ def _get(tree, path):
     return tree
 
 
-def flatten_params(tree):
-    """flax TransformerBlock param tree -> flat tuple (vectors as (1, n))."""
+def flatten_params(tree, paths=None):
+    """flax param tree -> flat tuple (vectors as (1, n)) following `paths`
+    (a tuple of key paths; defaults to this module's PARAM_ORDER). Shared
+    by all fused ops — each passes its own path table."""
     out = []
-    for path in PARAM_ORDER:
+    for path in (PARAM_ORDER if paths is None else paths):
         leaf = jnp.asarray(_get(tree, path), jnp.float32)
         out.append(leaf if leaf.ndim == 2 else leaf[None, :])
     return tuple(out)
 
 
-def unflatten_grads(flat):
-    """Flat gradient tuple -> flax TransformerBlock param-tree structure."""
+def unflatten_grads(flat, paths=None):
+    """Flat gradient tuple -> flax param-tree structure along `paths`
+    (LN 'scale'/'bias' leaves are restored to 1-D)."""
     tree = {}
-    for path, g in zip(PARAM_ORDER, flat):
+    for path, g in zip(PARAM_ORDER if paths is None else paths, flat):
         node = tree
         for k in path[:-1]:
             node = node.setdefault(k, {})
@@ -102,7 +105,6 @@ def _ln_bwd(dy, xhat, inv, scale):
     dg = jnp.sum(dy * xhat, axis=0, keepdims=True)
     db = jnp.sum(dy, axis=0, keepdims=True)
     dxhat = dy * scale
-    f = xhat.shape[-1]
     dx = (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
           - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)) * inv
     return dx, dg, db

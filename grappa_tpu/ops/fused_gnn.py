@@ -47,7 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grappa_tpu.ops.fused_block import (_dot, _dot_nt, _dot_tn,
                                         _dropout_mask, _elu, _elu_grad,
-                                        _ln_bwd, _ln_fwd, _reduce_matrix)
+                                        _ln_bwd, _ln_fwd, _reduce_matrix,
+                                        flatten_params as _flatten,
+                                        unflatten_grads as _unflatten)
 
 # tests flip this to run the kernels in the Pallas interpreter (CPU)
 INTERPRET = False
@@ -64,22 +66,11 @@ PARAM_ORDER = (
 
 
 def flatten_params(tree):
-    out = []
-    for path in PARAM_ORDER:
-        leaf = tree
-        for k in path:
-            leaf = leaf[k]
-        leaf = jnp.asarray(leaf, jnp.float32)
-        out.append(leaf if leaf.ndim == 2 else leaf[None, :])
-    return tuple(out)
+    return _flatten(tree, PARAM_ORDER)
 
 
 def unflatten_grads(flat):
-    tree = {}
-    for path, g in zip(PARAM_ORDER, flat):
-        node = tree.setdefault(path[0], {})
-        node[path[1]] = g[0] if path[1] in ('scale', 'bias') else g
-    return tree
+    return _unflatten(flat, PARAM_ORDER)
 
 
 

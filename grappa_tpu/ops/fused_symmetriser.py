@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grappa_tpu.ops.fused_block import (
     LN_EPS, _dot, _dot_nt, _dot_tn, _elu, _elu_grad, _ln_bwd, _ln_fwd,
-    _pad_t)
+    _pad_t, flatten_params as _flatten, unflatten_grads as _unflatten)
 
 # tests flip this to run the kernels in the Pallas interpreter (CPU)
 INTERPRET = False
@@ -46,24 +46,11 @@ def _layer_paths(n_layers):
 
 
 def flatten_params(tree, n_layers):
-    flat = []
-    for path in _layer_paths(n_layers):
-        leaf = tree
-        for k in path:
-            leaf = leaf[k]
-        leaf = jnp.asarray(leaf, jnp.float32)
-        flat.append(leaf if leaf.ndim == 2 else leaf[None, :])
-    return tuple(flat)
+    return _flatten(tree, _layer_paths(n_layers))
 
 
 def unflatten_grads(flat, n_layers):
-    tree = {}
-    for path, g in zip(_layer_paths(n_layers), flat):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = g[0] if path[-1] in ('scale', 'bias') else g
-    return tree
+    return _unflatten(flat, _layer_paths(n_layers))
 
 
 def _skip_flags(n_layers):

@@ -319,3 +319,57 @@ def test_early_exit_counts_completed_epoch(tmp_path):
     meta = json.loads(
         (tmp_path / 'run' / 'last.ckpt' / 'meta.json').read_text())
     assert meta['epoch'] == done
+
+
+def test_loader_guards_and_fixed_pad_with_replacement():
+    """Round-3 review regressions: (a) bucket_size must progress for
+    ratio <= 1.0, (b) weighted/balanced sampling requires shuffle,
+    (c) pad_ratio < 1 is rejected, (d) fixed_pad's worst-case spec must
+    survive weighted sampling drawing the LARGEST molecule batch_size
+    times (sampling is with replacement)."""
+    assert bucket_size(100, 8, ratio=1.0) >= 100   # no infinite loop
+
+    mds_small = make_dataset(n_mols=6, n_confs=4, seed=8, ds_name='small',
+                             atom_range=(6, 10))
+    mds_big = make_dataset(n_mols=1, n_confs=4, seed=9, ds_name='big',
+                           atom_range=(40, 44))
+    ds = Dataset(mds_small + mds_big, ['small'] * 6 + ['big'])
+
+    with pytest.raises(ValueError):
+        GraphLoader(ds, shuffle=False, balance_factor=0.5)
+    with pytest.raises(ValueError):
+        GraphLoader(ds, shuffle=False, weights={'big': 2.0})
+    with pytest.raises(ValueError):
+        GraphLoader(ds, pad_ratio=0.9)
+
+    # weights make the single big molecule dominate draws; every batch
+    # must fit the one fixed spec even when it contains the big molecule
+    # batch_size times
+    loader = GraphLoader(ds, batch_size=3, conf_strategy=4, shuffle=True,
+                         weights={'big': 100.0}, seed=0, drop_last=True)
+    big_atoms = mds_big[0].xyz.shape[1]
+    spec = loader._fixed_pad_spec(4)
+    assert spec.n_nodes >= 3 * big_atoms
+    for _ in range(3):   # several epochs of weighted draws
+        for batch, names in loader:
+            assert batch.num_mols == 3
+
+
+def test_loader_abandoned_iterator_joins_producer():
+    """Breaking out of an epoch early must not leave the prefetch thread
+    blocked on the queue (leaked batches + RNG races with the next
+    epoch's producer)."""
+    import threading
+
+    mds = make_dataset(n_mols=10, n_confs=4, seed=10)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=2, conf_strategy=4, shuffle=True,
+                         seed=0)
+    before = set(threading.enumerate())
+    it = iter(loader)
+    next(it)
+    it.close()          # abandon mid-epoch -> generator finally must join
+    leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+    assert not leaked, leaked
+    # and the next epoch still works end to end
+    assert sum(1 for _ in loader) == len(loader)
