@@ -132,10 +132,16 @@ def cmd_eval(argv):
     if args.set != 'all':
         split = (load_split(args.split) if args.split
                  else model_dict.get('split_names') or {})
-        if split:
-            tr, vl, te = ds.split(split.get('train', []), split.get('val', []),
-                                  split.get('test', []))
-            ds = {'train': tr, 'val': vl, 'test': te}[args.set]
+        if not split:
+            # silently evaluating the FULL dataset and storing it as e.g.
+            # 'test' would inflate benchmark numbers with train molecules
+            raise SystemExit(
+                f"--set {args.set} needs a split, but the model file "
+                f"stores none and no --split was given; pass --split "
+                f"<json> or use --set all to evaluate everything")
+        tr, vl, te = ds.split(split.get('train', []), split.get('val', []),
+                              split.get('test', []))
+        ds = {'train': tr, 'val': vl, 'test': te}[args.set]
     results = eval_model(model, params, ds, n_bootstrap=args.n_bootstrap,
                          classical=args.classical, plot_dir=args.plots,
                          config=model_dict.get('config'))
@@ -220,40 +226,23 @@ def cmd_gmx(argv):
                         'within the model field of view of these atom nrs '
                         '(the kimmdy radical workflow, file-based)')
     args = p.parse_args(argv)
-    from grappa_tpu.wrappers.gromacs_wrapper import (
-        GromacsGrappa, molecule_from_moleculetype)
+    from grappa_tpu.wrappers.gromacs_wrapper import GromacsGrappa
     ff = GromacsGrappa.from_tag(args.tag)
     top = ff.parametrize(args.topology, args.output,
                          charge_model=args.charge_model,
                          focus_nrs=set(args.focus) if args.focus else None,
                          resolve_includes=args.resolve_includes)
     if args.plot:
+        # plot the very predictions the parametrize run wrote (no second
+        # forward pass, no duplicated FOV derivation — parametrize records
+        # them in ff.last_predictions per moleculetype/component)
         from grappa_tpu.plotting import plot_parameters
-        from grappa_tpu.wrappers.gromacs_topology import SKIP_MOLECULES
-        from grappa_tpu.wrappers.gromacs_wrapper import (
-            filter_parameters, fov_neighborhood)
+        from grappa_tpu.wrappers.gromacs_wrapper import filter_parameters
         all_params = []
-        for mt in top.molecule_types():
-            if mt.name.upper() in SKIP_MOLECULES or len(mt.atom_rows()) < 2:
-                continue
-            if args.focus:
-                # mirror _parametrize_moleculetype exactly: predict on the
-                # double-FOV subgraph, show only the applied single FOV —
-                # so the plotted values match what was written
-                bonds = [tuple(map(int, b)) for b in mt.bonds()]
-                apply_nrs = fov_neighborhood(bonds, set(args.focus),
-                                             ff.field_of_view)
-                build_nrs = fov_neighborhood(bonds, apply_nrs,
-                                             ff.field_of_view)
-                mol = molecule_from_moleculetype(
-                    mt, charge_model=args.charge_model, atom_filter=build_nrs)
-                pred = filter_parameters(
-                    ff.predict(mol, check_eq_values=False), apply_nrs)
-            else:
-                mol = molecule_from_moleculetype(
-                    mt, charge_model=args.charge_model)
-                pred = ff.predict(mol, check_eq_values=False)
-            all_params.append(pred)
+        for preds in ff.last_predictions.values():
+            for pred, apply_nrs in preds:
+                all_params.append(pred if apply_nrs is None
+                                  else filter_parameters(pred, apply_nrs))
         plot_parameters(all_params, filename=args.plot,
                         title=f'grappa_tpu parameters: {args.topology}'
                               + (f' (focus {sorted(args.focus)})'

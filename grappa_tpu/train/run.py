@@ -273,7 +273,7 @@ def _finalize_run(trainer, model, config, split, test_loader, run_dir,
 
 
 def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None,
-                    cache_batches: bool = False) -> Dict:
+                    cache_batches: bool = False, mesh=None) -> Dict:
     """Continue a run from <run_dir>/last.ckpt with the stored config.
 
     Like do_trainrun, finishes with the bootstrap test evaluation and
@@ -290,8 +290,15 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None,
             f"resume such runs by calling Trainer.load_checkpoint directly "
             f"with the original dataset")
 
+    # pin the resume to the split the original run actually used: the run
+    # dir's split.json is the fully-resolved assignment; recomputing from
+    # the config could assign differently if the dataset cache changed in
+    # the meantime (train/test leakage). Molecules not covered by the
+    # stored split (newly added data) still get extended deterministically.
+    if (run_dir / 'split.json').exists():
+        config['data_config']['splitpath'] = str(run_dir / 'split.json')
     train_loader, val_loader, test_loader, split = get_dataloaders(
-        config['data_config'], None)
+        config['data_config'], run_dir)
     stats = param_statistics_from_graphs(train_loader.dataset.graphs())
     model = make_model(config['model_config'], stats)
     batch, _ = next(iter(train_loader))
@@ -302,6 +309,7 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None,
                       config['lit_model_config'], config['trainer_config'],
                       out_dir=str(run_dir), full_config=config,
                       log_fn=logger.log, cache_batches=cache_batches,
+                      mesh=mesh,
                       prng_impl=config['trainer_config'].get(
                           'prng_impl', 'rbg'))
     trainer.load_checkpoint(run_dir / 'last.ckpt')
@@ -317,14 +325,24 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None,
 
 def safe_trainrun(config: Dict, project_dir: str = 'runs',
                   run_name: Optional[str] = None, **kwargs) -> Dict:
-    """do_trainrun with one automatic resume-from-last-checkpoint retry."""
+    """do_trainrun with one automatic resume-from-last-checkpoint retry.
+
+    The retry keeps the run's execution mode: cache_batches carries over,
+    and runs started with a dataset_override cannot be resumed (the
+    datasets are not persisted), so the original error is re-raised
+    instead of silently retraining on the config's dataset tags."""
     try:
         return do_trainrun(config, project_dir, run_name, **kwargs)
     except Exception:
         traceback.print_exc()
+        if kwargs.get('dataset_override') is not None:
+            raise
         run_name = run_name or config['trainer_config'].get('name') or 'run'
         run_dir = Path(project_dir) / run_name
         if (run_dir / 'last.ckpt').exists():
             print(f"training failed; retrying once from {run_dir}/last.ckpt")
-            return resume_trainrun(str(run_dir))
+            return resume_trainrun(
+                str(run_dir),
+                cache_batches=kwargs.get('cache_batches', False),
+                mesh=kwargs.get('mesh'))
         raise

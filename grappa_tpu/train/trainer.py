@@ -152,7 +152,8 @@ class Trainer:
         # measures progress since the decay, not since the global best.
         self.plateau_baseline = float('inf')
         self.epochs_without_improvement = 0
-        self.elapsed_time = 0.0
+        self.elapsed_time = 0.0       # wall time from previous runs (s)
+        self._fit_start: Optional[float] = None
         # rbg (XLA RngBitGenerator) keys: ~8% faster full train step than
         # the threefry default on TPU — the ~40 dropout masks per step are
         # a real cost (PERF.md step breakdown). Pass 'threefry2x32' to
@@ -320,6 +321,10 @@ class Trainer:
         ckpt_every = int(self.trainer_cfg.get('checkpoint_every', 5))
         self._last_best_save = -ckpt_every
         start_time = time.time()
+        # checkpoints written during fit must include the in-flight session
+        # time, so a resumed run's time_limit/finish_criterion budget is
+        # cumulative (reference: elapsed_time is "time from a previous run")
+        self._fit_start = start_time
 
         while self.epoch < max_epochs:
             self.train_epoch()
@@ -370,6 +375,10 @@ class Trainer:
 
         if self.out_dir:
             self.save_checkpoint(self.out_dir / 'last.ckpt')
+        # fold this session's wall time into the stored total so a later
+        # fit() (or a save outside fit) doesn't double-count it
+        self.elapsed_time += time.time() - start_time
+        self._fit_start = None
         return {'best_early_stopping_loss': self.best_loss,
                 'epochs': self.epoch, 'history': self.history}
 
@@ -383,11 +392,13 @@ class Trainer:
         if include_opt_state:
             (path / 'opt_state.msgpack').write_bytes(
                 serialization.to_bytes(self.opt_state))
+        elapsed = self.elapsed_time + (
+            time.time() - self._fit_start if self._fit_start else 0.0)
         meta = {
             'epoch': self.epoch, 'global_step': self.global_step,
             'lr': self.lr, 'best_loss': self.best_loss,
             'plateau_baseline': self.plateau_baseline,
-            'elapsed_time': self.elapsed_time + 0.0,
+            'elapsed_time': elapsed,
             'config': _jsonable(self.full_config),
         }
         (path / 'meta.json').write_text(json.dumps(meta, indent=1))

@@ -182,6 +182,37 @@ class GromacsTopology:
     def save(self, path: Union[str, Path]):
         Path(path).write_text(self.write())
 
+    def atomtype_info(self) -> Dict[str, Tuple[Optional[int], Optional[float]]]:
+        """{type name: (atomic number or None, mass or None)} from the
+        global [atomtypes] sections. Column layouts vary (optional bonded
+        type / at.num columns); the particle-type letter (A/S/V/D) anchors
+        the row: mass is two fields before it, and the field before the
+        mass is the atomic number when it parses as a small integer."""
+        info: Dict[str, Tuple[Optional[int], Optional[float]]] = {}
+        for el in self.elements:
+            if not (isinstance(el, Section) and el.name == 'atomtypes'):
+                continue
+            for row in el.data_rows():
+                ptype_idx = next(
+                    (i for i, f in enumerate(row)
+                     if i >= 3 and f in ('A', 'S', 'V', 'D')), None)
+                if ptype_idx is None or ptype_idx < 2:
+                    continue
+                try:
+                    mass = float(row[ptype_idx - 2])
+                except ValueError:
+                    continue
+                atnum: Optional[int] = None
+                if ptype_idx >= 3:
+                    try:
+                        cand = int(row[ptype_idx - 3])
+                        if 0 < cand < 119:
+                            atnum = cand
+                    except ValueError:
+                        pass
+                info[row[0]] = (atnum, mass)
+        return info
+
     def molecule_types(self) -> List[MoleculeType]:
         """Group sections into [moleculetype] blocks."""
         mols: List[MoleculeType] = []

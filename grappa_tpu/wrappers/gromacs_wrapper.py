@@ -55,10 +55,32 @@ def element_from_mass(mass: float) -> int:
     return int(numbers[idx])
 
 
+def _atomic_number(atom: Dict, type_info: Optional[Dict]) -> int:
+    """Element resolution: [atomtypes] at.num column, else the atom row's
+    mass, else the [atomtypes] mass. A missing mass is an ERROR — silently
+    defaulting an unknown atom to hydrogen would produce garbage
+    parameters without any signal."""
+    info = (type_info or {}).get(atom['type'])
+    if info is not None and info[0] is not None:
+        return int(info[0])
+    mass = atom['mass']
+    if mass is None and info is not None:
+        mass = info[1]
+    if mass is None:
+        raise ValueError(
+            f"atom nr {atom['nr']} (type {atom['type']!r}) has no mass "
+            f"column and no [atomtypes] entry — cannot infer the element; "
+            f"parse the topology with resolve_includes=True or add masses")
+    return element_from_mass(mass)
+
+
 def molecule_from_moleculetype(mol_type: MoleculeType,
                                charge_model: str = 'amber99',
-                               atom_filter: Optional[Set[int]] = None
+                               atom_filter: Optional[Set[int]] = None,
+                               type_info: Optional[Dict] = None
                                ) -> Molecule:
+    """type_info: GromacsTopology.atomtype_info() of the owning topology —
+    used to resolve elements for atoms whose rows omit the mass column."""
     atoms = mol_type.atoms()
     if atom_filter is not None:
         atoms = [a for a in atoms if a['nr'] in atom_filter]
@@ -66,8 +88,7 @@ def molecule_from_moleculetype(mol_type: MoleculeType,
     bonds = [(a, b) for a, b in mol_type.bonds() if a in keep and b in keep]
     impropers = [t for t in mol_type.improper_tuples()
                  if all(x in keep for x in t)]
-    atomic_numbers = [element_from_mass(a['mass']) if a['mass'] is not None
-                      else 1 for a in atoms]
+    atomic_numbers = [_atomic_number(a, type_info) for a in atoms]
     return Molecule(
         atoms=[a['nr'] for a in atoms],
         bonds=bonds,
@@ -77,6 +98,33 @@ def molecule_from_moleculetype(mol_type: MoleculeType,
         improper_in_correct_format=False,
         charge_model=charge_model,
     )
+
+
+def _connected_components(bonds: Iterable[Tuple[int, int]],
+                          nodes: Set[int]) -> List[Set[int]]:
+    """Connected components of the subgraph induced by `nodes` (single
+    isolated atoms are dropped — nothing bonded to predict)."""
+    nbrs = topo.neighbor_map([(a, b) for a, b in bonds
+                              if a in nodes and b in nodes])
+    seen: Set[int] = set()
+    comps: List[Set[int]] = []
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        comp = {start}
+        frontier = [start]
+        while frontier:
+            nxt = []
+            for a in frontier:
+                for b in nbrs.get(a, ()):
+                    if b not in comp:
+                        comp.add(b)
+                        nxt.append(b)
+            frontier = nxt
+        seen |= comp
+        if len(comp) >= 2:
+            comps.append(comp)
+    return comps
 
 
 def fov_neighborhood(bonds: Iterable[Tuple[int, int]], focus: Set[int],
@@ -178,6 +226,12 @@ class GromacsGrappa(Grappa):
             top_path.stem + '_grappa' + top_path.suffix)
         top = GromacsTopology.parse(top_path, resolve_includes=resolve_includes)
 
+        # predictions of this run, per moleculetype: [(Parameters,
+        # apply_nrs or None), ...] — one entry per connected component.
+        # Consumers (e.g. grappa_gmx --plot) read these instead of
+        # re-deriving the FOV subgraphs and re-running the model.
+        self.last_predictions: Dict[str, List] = {}
+
         for mol_type in top.molecule_types():
             if mol_type.name.upper() in SKIP_MOLECULES:
                 continue
@@ -208,10 +262,30 @@ class GromacsGrappa(Grappa):
             apply_nrs = None
             build_nrs = None
 
-        molecule = molecule_from_moleculetype(
-            mol_type, charge_model=charge_model, atom_filter=build_nrs)
-        params = self.predict(molecule, check_eq_values=check_eq_values)
-        rows = gromacs_parameter_rows(params, apply_nrs)
+        type_info = top.atomtype_info()
+        if build_nrs is None:
+            components = [None]
+        else:
+            # several distant focus atoms (e.g. two radical sites from a
+            # homolysis) can make the field-of-view subgraph disconnected;
+            # predict per connected component instead of rejecting
+            components = _connected_components(bonds, build_nrs)
+        all_rows: Dict[str, List[str]] = {'bonds': [], 'angles': [],
+                                          'propers': [], 'impropers': []}
+        for comp in components:
+            molecule = molecule_from_moleculetype(
+                mol_type, charge_model=charge_model, atom_filter=comp,
+                type_info=type_info)
+            params = self.predict(molecule, check_eq_values=check_eq_values)
+            comp_apply = (apply_nrs if comp is None
+                          else apply_nrs & comp)
+            if hasattr(self, 'last_predictions'):
+                self.last_predictions.setdefault(
+                    mol_type.name, []).append((params, comp_apply))
+            rows = gromacs_parameter_rows(params, comp_apply)
+            for k in all_rows:
+                all_rows[k] += rows[k]
+        rows = all_rows
 
         if apply_nrs is None:
             mol_type.section('bonds').replace_data(rows['bonds'])
@@ -242,6 +316,10 @@ class GromacsGrappa(Grappa):
         prop_sec, imp_sec = top.ensure_dihedral_sections(mol_type)
         for sec, key, functs in ((prop_sec, 'propers', ('9', '1')),
                                  (imp_sec, 'impropers', ('4', '2'))):
+            # remove ONLY rows being rewritten (inside apply_nrs AND of a
+            # funct this pass replaces); everything else — other functs
+            # (e.g. RB funct 3, or funct-4 rows living in a mixed
+            # dihedrals section) and rows outside the focus — survives
             kept = [' '.join(r) for r in sec.data_rows()
-                    if len(r) >= 5 and r[4] in functs and outside(r, 4)]
+                    if len(r) < 5 or r[4] not in functs or outside(r, 4)]
             sec.replace_data(kept + rows[key])

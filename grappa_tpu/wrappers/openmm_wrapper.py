@@ -88,7 +88,8 @@ def molecule_from_openmm(openmm_system, openmm_topology,
     idx_set = set(atom_idxs)
     pos = {idx: i for i, idx in enumerate(atom_idxs)}
 
-    bonds = [(top_atoms.index(a), top_atoms.index(b))
+    atom_pos = {a: i for i, a in enumerate(top_atoms)}  # O(1) per lookup
+    bonds = [(atom_pos[a], atom_pos[b])
              for a, b in openmm_topology.bonds()]
     # bonds above are indices into top_atoms == indices into atom_idxs
     nbrs = topo.neighbor_map(bonds)

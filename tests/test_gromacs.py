@@ -363,3 +363,124 @@ def test_parser_tolerates_messy_topologies():
     again = GromacsTopology.parse(top.write())
     assert [m.name for m in again.molecule_types()] == ['MOL']
     assert len(again.molecule_types()[0].atom_rows()) == 3
+
+
+ATOMTYPES_TOP = """\
+[ atomtypes ]
+; name  at.num  mass     charge  ptype  sigma    epsilon
+  CX    6       12.0110  0.000   A      0.33997  0.45773
+  HX    1        1.0080  0.000   A      0.26495  0.06569
+
+[ moleculetype ]
+NOMASS 3
+
+[ atoms ]
+; nr type resnr residue atom cgnr charge     (no mass column)
+  1  CX   1     MOL     C1   1   -0.18
+  2  HX   1     MOL     H1   2    0.06
+  3  HX   1     MOL     H2   3    0.06
+  4  HX   1     MOL     H3   4    0.06
+
+[ bonds ]
+  1 2 1
+  1 3 1
+  1 4 1
+
+[ system ]
+x
+[ molecules ]
+NOMASS 1
+"""
+
+
+def test_atomtype_info_resolves_massless_atoms():
+    """Atoms whose [atoms] rows omit the mass column must resolve their
+    element through [atomtypes] (at.num or mass) — and ERROR without it,
+    never silently default to hydrogen."""
+    top = GromacsTopology.parse(ATOMTYPES_TOP)
+    info = top.atomtype_info()
+    assert info['CX'] == (6, pytest.approx(12.011))
+    assert info['HX'] == (1, pytest.approx(1.008))
+
+    mt = top.molecule_types()[0]
+    mol = molecule_from_moleculetype(mt, type_info=info)
+    assert list(mol.atomic_numbers) == [6, 1, 1, 1]
+
+    with pytest.raises(ValueError, match='no mass'):
+        molecule_from_moleculetype(mt)
+
+
+MIXED_DIHEDRALS_TOP = """\
+[ moleculetype ]
+CHAIN 3
+
+[ atoms ]
+;  nr type resnr residue atom cgnr charge mass
+""" + '\n'.join(
+    f"  {i}  CT  1  CHN  C{i}  {i}  0.0  12.011" for i in range(1, 31)
+) + """
+
+[ bonds ]
+""" + '\n'.join(f"  {i} {i+1} 1  0.15 250000.0" for i in range(1, 30)) + """
+
+[ angles ]
+""" + '\n'.join(f"  {i} {i+1} {i+2} 1  111.0 400.0"
+                 for i in range(1, 29)) + """
+
+[ dihedrals ]
+  1 2 3 4     9  0.0 0.65 1
+  2 3 4 5     4  180.0 4.6 2
+  14 15 16 17 9  0.0 0.65 1
+  14 15 16 17 3  9.2 -9.2 0.0 0.0 0.0 0.0
+  26 27 28 29 4  180.0 4.6 2
+
+[ system ]
+chain
+[ molecules ]
+CHAIN 1
+"""
+
+
+def test_focus_preserves_foreign_functs_and_outside_rows(gmx_model,
+                                                         tmp_path):
+    """Partial reparametrization must only remove rows it rewrites: a
+    funct-3 (RB) torsion and funct-4/9 rows OUTSIDE the focus region
+    survive, even in a mixed [dihedrals] section."""
+    top_path = tmp_path / 'chain.top'
+    top_path.write_text(MIXED_DIHEDRALS_TOP)
+    out_path = tmp_path / 'chain_out.top'
+    gmx_model.parametrize(top_path, out_path, focus_nrs={1},
+                          check_eq_values=False)
+    out = GromacsTopology.parse(out_path)
+    rows = [r for _, r in out.molecule_types()[0].dihedral_rows()]
+    # the RB torsion (funct 3, atoms 14-17, far outside the focus) survives
+    assert any(r[4] == '3' for r in rows), rows
+    # the far funct-9 proper and funct-4 improper survive with their
+    # original parameters
+    assert any(r[:5] == ['14', '15', '16', '17', '9'] and r[6] == '0.65'
+               for r in rows)
+    assert any(r[:5] == ['26', '27', '28', '29', '4'] for r in rows)
+    # bonds outside the focus keep the original force constant
+    bonds = out.molecule_types()[0].section('bonds').data_rows()
+    assert any(r[4] == '250000.0' for r in bonds)
+    # and bonds at the focus were rewritten
+    assert any(r[:2] == ['1', '2'] and r[4] != '250000.0' for r in bonds)
+
+
+def test_disconnected_focus_components(gmx_model, tmp_path):
+    """Two focus atoms at opposite chain ends (the kimmdy homolysis case)
+    produce a DISCONNECTED field-of-view subgraph; parametrization must
+    predict per connected component instead of aborting."""
+    top_path = tmp_path / 'chain2.top'
+    top_path.write_text(MIXED_DIHEDRALS_TOP)
+    out_path = tmp_path / 'chain2_out.top'
+    gmx_model.parametrize(top_path, out_path, focus_nrs={1, 30},
+                          check_eq_values=False)
+    out = GromacsTopology.parse(out_path)
+    bonds = out.molecule_types()[0].section('bonds').data_rows()
+    # both ends rewritten, middle untouched
+    assert any(r[:2] == ['1', '2'] and r[4] != '250000.0' for r in bonds)
+    assert any(r[:2] == ['29', '30'] and r[4] != '250000.0' for r in bonds)
+    assert any(r[:2] == ['15', '16'] and r[4] == '250000.0' for r in bonds)
+    # the wrapper recorded one prediction per component
+    assert len(gmx_model.last_predictions['CHAIN']) == 2

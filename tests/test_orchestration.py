@@ -427,3 +427,62 @@ def test_resume_finalizes_like_do_trainrun(tmp_path):
     # per-subdataset metric dict with bootstrap stats
     sub = next(iter(test_metrics.values()))
     assert any('rmse' in k for k in sub), sub
+
+
+def test_eval_cli_refuses_setwise_eval_without_split(tmp_path):
+    """--set test with no stored/provided split must error instead of
+    silently evaluating the full dataset and storing it as 'test'."""
+    from grappa_tpu.cli import main
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.models.grappa_model import (get_small_model_config,
+                                                make_model)
+    from grappa_tpu.statistics import param_statistics_from_graphs
+    from grappa_tpu.train.export import build_model_dict, save_model_dict
+    import jax
+    from grappa_tpu.data import collate
+
+    ds_dir = tmp_path / 'ds'
+    ds = Dataset.from_moldata(make_dataset(n_mols=4, n_confs=4, seed=2),
+                              'syn')
+    ds.save(ds_dir)
+    graphs = ds.graphs()
+    stats = param_statistics_from_graphs(graphs)
+    cfg = {'model_config': get_small_model_config()}
+    model = make_model(cfg['model_config'], stats)
+    params = jax.jit(model.init)(jax.random.key(0), collate(graphs[:1]))
+    md = build_model_dict(params, cfg, split_names={}, results={},
+                          model=model)
+    model_path = tmp_path / 'model.npz'
+    save_model_dict(md, model_path)
+
+    with pytest.raises(SystemExit, match='needs a split'):
+        main(['eval', '-t', str(model_path), '-d', str(ds_dir),
+              '--set', 'test', '--n-bootstrap', '2', '--no-write'])
+    # --set all works without a split
+    rc = main(['eval', '-t', str(model_path), '-d', str(ds_dir),
+               '--set', 'all', '--n-bootstrap', '2', '--no-write'])
+    assert rc == 0
+
+
+def test_elapsed_time_accumulates_across_resume(tmp_path):
+    """Checkpoints must store cumulative wall time so time_limit /
+    finish_criterion budgets survive a resume (previously elapsed_time
+    stayed 0.0 forever and every resume restarted the clock)."""
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.train.run import do_trainrun, resume_trainrun
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=6, n_confs=4, seed=3),
+                         'syn-el').save(ds_dir)
+    config = _small_config(ds_dir, max_epochs=1)
+    config['trainer_config']['checkpoint_every'] = 1
+    do_trainrun(config, project_dir=str(tmp_path / 'runs'), run_name='el')
+    meta = json.loads((tmp_path / 'runs' / 'el' / 'last.ckpt'
+                       / 'meta.json').read_text())
+    t1 = meta['elapsed_time']
+    assert t1 > 0.0
+
+    resume_trainrun(str(tmp_path / 'runs' / 'el'), extra_epochs=1)
+    meta2 = json.loads((tmp_path / 'runs' / 'el' / 'last.ckpt'
+                        / 'meta.json').read_text())
+    assert meta2['elapsed_time'] > t1
