@@ -91,16 +91,30 @@ class Dataset:
 
     def remove_uncommon_features(self) -> 'Dataset':
         """Strip per-atom features that are not present in every molecule so
-        all entries are batchable together."""
+        all entries are batchable together.
+
+        Entries are shared by reference across views (split/where/shuffled/
+        concat), so the molecules are NOT mutated in place — affected
+        entries get a shallow copy with their own feature dict, leaving
+        sibling views (and their graph caches) consistent."""
+        import copy as _copy
+
         common = None
         for e in self.entries:
             keys = set(e.molecule.additional_features.keys())
             common = keys if common is None else common & keys
-        for e in self.entries:
-            for k in list(e.molecule.additional_features.keys()):
-                if k not in common:
-                    del e.molecule.additional_features[k]
-        self._graphs = [None] * len(self.entries)
+        for i, e in enumerate(self.entries):
+            extra = [k for k in e.molecule.additional_features
+                     if k not in common]
+            if not extra:
+                continue
+            entry = _copy.copy(e)
+            entry.molecule = _copy.copy(e.molecule)
+            entry.molecule.additional_features = {
+                k: v for k, v in e.molecule.additional_features.items()
+                if k in common}
+            self.entries[i] = entry
+            self._graphs[i] = None   # only modified entries' caches reset
         return self
 
     # ------------------------------------------------------------------

@@ -81,8 +81,12 @@ class MolData:
         is energy - nonbonded, mean-centered."""
         energy_ref = energy - nonbonded_energy
         energy_ref = energy_ref - energy_ref.mean()
+        # gradient and nonbonded_gradient are independently optional: a
+        # missing one means zeros, not a TypeError / a silently discarded
+        # provided array
         if gradient is None:
             gradient = np.zeros_like(xyz)
+        if nonbonded_gradient is None:
             nonbonded_gradient = np.zeros_like(xyz)
         gradient_ref = gradient - nonbonded_gradient
         if mol_id is None:
@@ -204,17 +208,36 @@ class MolData:
             # (reference MolData.py:541 allow_nan_params semantics)
             if not allow_nan_params:
                 raise
+            import copy as _copy
+
             from grappa_tpu.wrappers.openmm_wrapper import (
-                molecule_from_openmm)
+                get_energies, molecule_from_openmm,
+                remove_forces_from_system)
             molecule = molecule_from_openmm(system, topology,
                                             charge_model=charge_model)
+            had_gradient = gradient is not None
             gradient = (np.zeros_like(xyz) if gradient is None
                         else np.asarray(gradient, np.float32))
             e = np.asarray(energy, np.float32)
+            # only the classical BONDED parameters are unobtainable here;
+            # the nonbonded contribution is still computable from the
+            # already-built system and MUST be subtracted — the bonded
+            # target convention everywhere else (from_arrays,
+            # moldata_from_openmm_system) is QM minus nonbonded
+            nb_system = remove_forces_from_system(
+                _copy.deepcopy(system), keep=('Nonbonded', 'CMMotion'))
+            nb_energy, nb_gradient = get_energies(nb_system, xyz)
+            nb_energy = np.asarray(nb_energy, np.float32)
+            nb_gradient = np.asarray(nb_gradient, np.float32)
+            energy_ref = e - nb_energy
             md = cls(molecule=molecule, xyz=np.asarray(xyz, np.float32),
                      energy=e, gradient=gradient,
-                     energy_ref=e - e.mean(), gradient_ref=gradient,
+                     energy_ref=energy_ref - energy_ref.mean(),
+                     gradient_ref=(gradient - nb_gradient if had_gradient
+                                   else gradient),
                      mol_id=mol_id or mapped_smiles,
+                     ff_nonbonded_energy={forcefield: nb_energy},
+                     ff_nonbonded_gradient={forcefield: nb_gradient},
                      classical_parameters=Parameters.get_nan_params(molecule))
         md.mapped_smiles = mapped_smiles
         md.molecule.additional_features['sp_hybridization'] = \

@@ -42,7 +42,9 @@ class Parameters:
     def to_signed_k(k: np.ndarray, phase: np.ndarray) -> np.ndarray:
         """Fold phase {0, pi} into the sign of k (phase pi => negative k)."""
         k = np.asarray(k)
-        phase = np.asarray(phase)
+        # normalize into [0, 2pi) so physically identical phases (e.g.
+        # -pi == +pi, common in engine-exported torsions) are accepted
+        phase = np.mod(np.asarray(phase, np.float64), 2 * np.pi)
         valid = (np.asarray(k >= 0) | np.isnan(k))
         assert np.all(valid), "force constants must be non-negative"
         near0 = np.isclose(phase, 0, atol=1e-2) | np.isclose(
@@ -244,12 +246,17 @@ def assign_torsion_parameters(mol: Molecule, torsions, ks, phases,
         if k == 0.0:
             continue
         if k < 0:  # sign of k <-> phase shift by pi
-            phase = (phase + np.pi) % (2 * np.pi)
+            phase = phase + np.pi
             k = -k
+        # canonicalize into [0, 2pi) with near-2pi snapped to 0, so -pi
+        # (physically identical to +pi) and 2pi-eps vs 0 compare equal in
+        # the duplicate-phase checks below
+        phase = float(np.mod(phase, 2 * np.pi))
+        if phase > 2 * np.pi - 1e-2:
+            phase = 0.0
         torsion = tuple(int(x) for x in torsion)
-        near_0_or_pi = (np.isclose(phase % (2 * np.pi), 0, atol=1e-2)
-                        or np.isclose(phase, np.pi, atol=1e-2)
-                        or np.isclose(phase, 2 * np.pi, atol=1e-2))
+        near_0_or_pi = (np.isclose(phase, 0, atol=1e-2)
+                        or np.isclose(phase, np.pi, atol=1e-2))
 
         if torsion in proper_lookup:
             if per > C.N_PERIODICITY_PROPER:

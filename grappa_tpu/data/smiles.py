@@ -78,6 +78,9 @@ def parse_mapped_smiles(smiles: str) -> Tuple[np.ndarray, np.ndarray,
         prev = idx
 
     def close_ring(label: str):
+        if prev is None:
+            raise SmilesError(
+                f"ring-closure digit {label!r} before any atom")
         if label in ring_open:
             other = ring_open.pop(label)
             if other == prev:

@@ -169,7 +169,19 @@ class TupleHead(nn.Module):
         return xs                                # stays (S, T, F)
 
 
-class HarmonicParameterHead(nn.Module):
+class _ScalerStatistics:
+    """Mixin for parameter heads: a scaler statistic is a trainable param
+    when learnable_statistics (reference final_layer.py learnable
+    mean/std), else a baked constant."""
+
+    def _stat(self, name: str, value):
+        if self.learnable_statistics:
+            return self.param(name,
+                              lambda key: jnp.asarray(value, jnp.float32))
+        return jnp.asarray(value, jnp.float32)
+
+
+class HarmonicParameterHead(_ScalerStatistics, nn.Module):
     """Bond (arity 2) or angle (arity 3) head -> (eq, k) with scalers.
 
     eq uses to_positive for bonds and to_range(max=pi) for angles; k uses
@@ -193,13 +205,6 @@ class HarmonicParameterHead(nn.Module):
     learnable_statistics: bool = False
     remat: bool = False
     fused: bool = False
-
-    def _stat(self, name: str, value):
-        """Scaler statistic: a trainable parameter when learnable_statistics
-        (reference parity: final_layer.py learnable mean/std), else baked."""
-        if self.learnable_statistics:
-            return self.param(name, lambda key: jnp.asarray(value, jnp.float32))
-        return jnp.asarray(value, jnp.float32)
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):
@@ -236,7 +241,7 @@ class HarmonicParameterHead(nn.Module):
         return k, eq
 
 
-class TorsionParameterHead(nn.Module):
+class TorsionParameterHead(_ScalerStatistics, nn.Module):
     """Proper/improper head -> signed torsion amplitudes (T, n_periodicity)."""
     term: str                     # 'n4' | 'n4_improper'
     n_periodicity: int
@@ -257,11 +262,6 @@ class TorsionParameterHead(nn.Module):
     learnable_statistics: bool = False
     remat: bool = False
     fused: bool = False
-
-    def _stat(self, name: str, value):
-        if self.learnable_statistics:
-            return self.param(name, lambda key: jnp.asarray(value, jnp.float32))
-        return jnp.asarray(value, jnp.float32)
 
     @nn.compact
     def __call__(self, h, idxs, deterministic: bool = True):

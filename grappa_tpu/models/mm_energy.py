@@ -137,12 +137,14 @@ def energy_and_gradient(batch: GraphBatch, params: ParamDict,
     so losses on it train the parameter model via grad-of-grad.
     """
     def total_energy(xyz):
-        return jnp.sum(pooled_energy(batch, params, xyz, offset_torsion,
-                                     use_fused_torsion)['energy'])
+        e = pooled_energy(batch, params, xyz, offset_torsion,
+                          use_fused_torsion)['energy']
+        return jnp.sum(e), e
 
-    gradient = jax.grad(total_energy)(batch.xyz)
-    energy = pooled_energy(batch, params, batch.xyz, offset_torsion,
-                           use_fused_torsion)['energy']
+    # one forward: the per-molecule energies ride along as aux instead of
+    # re-running pooled_energy (XLA usually CSEs the duplicate, but remat/
+    # custom-call paths are not reliably merged)
+    gradient, energy = jax.grad(total_energy, has_aux=True)(batch.xyz)
     return energy, gradient
 
 

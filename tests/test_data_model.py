@@ -7,7 +7,7 @@ import pytest
 from grappa_tpu import constants
 from grappa_tpu.data import Molecule, Parameters, MolData
 from grappa_tpu.data.synthetic import (
-    make_moldata, random_molecule, random_parameters)
+    make_dataset, make_moldata, random_molecule, random_parameters)
 from grappa_tpu.graph_features import degree_encoding, ring_encoding
 
 
@@ -254,3 +254,79 @@ def test_k_fold_flat_sequence_still_works():
     assert len(splits) == 4
     seen = [i for s in splits for i in s['test']]
     assert sorted(seen) == sorted({f'm{i}' for i in range(17)})
+
+
+def test_negative_pi_phase_accepted():
+    """Phase -pi is physically identical to +pi (cos(n*phi + pi) ==
+    cos(n*phi - pi)); engine-exported torsions commonly use -180 deg and
+    must convert, not crash (round-3 review regression)."""
+    from grappa_tpu.data.parameters import (Parameters,
+                                            assign_torsion_parameters)
+
+    mol = Molecule(atoms=[0, 1, 2, 3],
+                   bonds=[(0, 1), (1, 2), (2, 3)],
+                   impropers=[],
+                   atomic_numbers=[6, 6, 6, 6],
+                   partial_charges=[0.0] * 4)
+    proper = tuple(int(x) for x in mol.propers[0])
+    pk, pp, ik, ip = assign_torsion_parameters(
+        mol, [proper], [1.5], [-np.pi], [2])
+    assert pk[0, 1] == 1.5
+    # canonicalized to +pi -> signed k is negative
+    signed = Parameters.to_signed_k(pk[0:1, 1], pp[0:1, 1])
+    assert signed[0] == -1.5
+    # and a tiny negative phase is treated as 0
+    signed0 = Parameters.to_signed_k(np.array([2.0]), np.array([-1e-3]))
+    assert signed0[0] == 2.0
+
+
+def test_from_arrays_partial_gradients():
+    """gradient and nonbonded_gradient are independently optional."""
+    md_src = make_moldata(seed=4, n_confs=3)
+    mol, xyz = md_src.molecule, md_src.xyz
+    e = md_src.energy
+    nb = np.zeros_like(e) + 2.0
+
+    # gradient without nonbonded_gradient: treated as zero nonbonded
+    md = MolData.from_arrays(mol, xyz, e, nb, gradient=md_src.gradient)
+    np.testing.assert_array_equal(md.gradient_ref, md_src.gradient)
+
+    # nonbonded_gradient without gradient: not silently discarded
+    nbg = np.full_like(xyz, 0.25)
+    md2 = MolData.from_arrays(mol, xyz, e, nb, nonbonded_gradient=nbg)
+    np.testing.assert_array_equal(md2.gradient_ref, -nbg)
+    np.testing.assert_array_equal(
+        md2.ff_nonbonded_gradient['reference_ff'], nbg)
+
+
+def test_remove_uncommon_features_does_not_mutate_sibling_views():
+    """Entries are shared across dataset views; stripping features in one
+    view must not corrupt another view's molecules or graph cache."""
+    from grappa_tpu.data.dataset import Dataset
+
+    mds = make_dataset(n_mols=4, n_confs=2, seed=6)
+    for md in mds[:2]:
+        md.molecule.additional_features['extra_feat'] = np.ones(
+            (len(md.molecule.atoms), 1), np.float32)
+    ds = Dataset.from_moldata(mds, 'syn')
+    # cache a graph in the parent view BEFORE stripping in the subset
+    _ = ds.graph(0)
+    assert 'extra_feat' in ds.entries[0].molecule.additional_features
+
+    # the subset molecules all carry extra_feat -> common within subset,
+    # BUT mixing with the rest of ds would differ; strip in a subset of
+    # mixed entries to force deletion:
+    mixed, _, _ = ds.split([m.mol_id for m in mds[1:3]], [], [],
+                           check_disjoint=False)
+    mixed.remove_uncommon_features()
+    # parent view untouched
+    assert 'extra_feat' in ds.entries[1].molecule.additional_features
+    # subset's own entry was copied, not shared
+    assert all('extra_feat' not in e.molecule.additional_features
+               for e in mixed.entries)
+
+
+def test_smiles_ring_digit_before_atom_errors():
+    from grappa_tpu.data.smiles import SmilesError, parse_mapped_smiles
+    with pytest.raises(SmilesError, match='before any atom'):
+        parse_mapped_smiles('1CC1')

@@ -188,3 +188,49 @@ def test_moldata_from_smiles(tmp_path):
     finally:
         openff_double.uninstall()
         openmm_double.uninstall()
+
+
+def test_moldata_from_smiles_nan_fallback_subtracts_nonbonded(monkeypatch):
+    """When classical bonded parameters are unobtainable and
+    allow_nan_params=True, the fallback must STILL subtract the classical
+    nonbonded contribution from the targets (the bonded-target convention
+    everywhere else; round-3 review regression)."""
+    import openff_double
+    import openmm_double
+    openmm_double.install()
+    openff_double.install()
+    try:
+        import grappa_tpu.wrappers.openmm_wrapper as ow
+
+        def boom(*a, **k):
+            raise RuntimeError('no classical params')
+        monkeypatch.setattr(ow, 'moldata_from_openmm_system', boom)
+
+        smiles = '[C:1]([H:3])([H:4])([H:5])[O:2][H:6]'
+        rng = np.random.default_rng(2)
+        n_atoms, n_confs = 6, 4
+        xyz = rng.uniform(0, 3, (n_confs, n_atoms, 3))
+        energy = rng.normal(0, 1, n_confs)
+        gradient = rng.normal(0, 1, (n_confs, n_atoms, 3))
+        charges = np.linspace(-0.3, 0.3, n_atoms)
+
+        with pytest.raises(RuntimeError):
+            MolData.from_smiles(smiles, xyz, energy, gradient,
+                                partial_charges=charges)
+
+        md = MolData.from_smiles(smiles, xyz, energy, gradient,
+                                 partial_charges=charges,
+                                 allow_nan_params=True)
+        assert np.isnan(md.classical_parameters.bond_k).all()
+        # nonbonded contribution computed + subtracted, and stored
+        nb = next(iter(md.ff_nonbonded_energy.values()))
+        assert np.abs(nb).max() > 0
+        expect = energy - nb
+        np.testing.assert_allclose(md.energy_ref,
+                                   expect - expect.mean(), atol=1e-4)
+        nbg = next(iter(md.ff_nonbonded_gradient.values()))
+        np.testing.assert_allclose(md.gradient_ref, gradient - nbg,
+                                   atol=1e-4)
+    finally:
+        openmm_double.uninstall()
+        openff_double.uninstall()
