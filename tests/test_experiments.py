@@ -138,3 +138,24 @@ def test_learning_curve_harness(tmp_path):
                       results_path=str(results_path), config=config)
     assert {k: v['train_mols'] for k, v in results2.items()} == \
         {k: v['train_mols'] for k, v in stored.items()}
+
+
+PROXY_RESULTS = (Path(__file__).parent.parent / 'experiments'
+                 / 'espaloma_proxy' / 'proxy_results.json')
+
+
+@pytest.mark.skipif(not PROXY_RESULTS.exists(),
+                    reason='espaloma-proxy benchmark has not run yet '
+                           '(needs the real chip)')
+def test_espaloma_proxy_regression_gates():
+    """The offline accuracy benchmark's gates (RESULTS.md): test
+    rmse_energies <= 1.0 kcal/mol and crmse_gradients <= 1.5 kcal/mol/A on
+    EVERY subdataset. Activates automatically once the on-chip run has
+    written proxy_results.json, making accuracy regressions a test
+    failure in later rounds."""
+    results = json.loads(PROXY_RESULTS.read_text())
+    test_metrics = results.get('test') or {}
+    assert test_metrics, results
+    for ds, m in test_metrics.items():
+        assert m['rmse_energies'] <= 1.0, (ds, m['rmse_energies'])
+        assert m['crmse_gradients'] <= 1.5, (ds, m['crmse_gradients'])
