@@ -172,6 +172,49 @@ def measure_jax(batch, n_steps=100, n_warmup=10, compute_dtype='float32'):
     return (time.time() - t0) / n_steps, flops
 
 
+def measure_scan_epoch(batch, n_scan: int = 30, n_rounds: int = 4,
+                       compute_dtype='float32'):
+    """Seconds/step when n_scan steps run as ONE dispatch (lax.scan over a
+    device-resident stacked batch — trainer.make_scan_epoch_step). The
+    same batch is tiled n_scan times (identical compute per step), so the
+    difference vs measure_jax is pure dispatch/host-roundtrip overhead."""
+    import jax
+    import jax.numpy as jnp
+    from grappa_tpu.data.graph_batch import stack_batches
+    from grappa_tpu.models.grappa_model import (get_default_model_config,
+                                                make_model)
+    from grappa_tpu.train.loss import LossWeights
+    from grappa_tpu.train.trainer import make_optimizer, make_scan_epoch_step
+
+    cfg = get_default_model_config()
+    cfg['compute_dtype'] = compute_dtype
+    model = make_model(cfg)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    tx = make_optimizer()
+    opt_state = tx.init(params)
+    scan = make_scan_epoch_step(model, tx)
+    weights = LossWeights(
+        energy=jnp.float32(1.0), gradient=jnp.float32(0.8),
+        param=jnp.full(batch.num_mols, 1e-3, jnp.float32),
+        proper_reg=jnp.float32(1e-3), improper_reg=jnp.float32(1e-3))
+    stacked_b = stack_batches([batch] * n_scan)
+    stacked_w = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0),
+                             *([weights] * n_scan))
+    perm = jnp.arange(n_scan)
+    lrs = jnp.full((n_scan,), 1e-4, jnp.float32)
+    rngs = jax.random.split(jax.random.key(2, impl='rbg'), n_scan)
+
+    params, opt_state, losses = scan(params, opt_state, stacked_b,
+                                     stacked_w, perm, lrs, rngs)
+    float(losses[-1])   # force execution (honest timing on the tunnel)
+    t0 = time.time()
+    for _ in range(n_rounds):
+        params, opt_state, losses = scan(params, opt_state, stacked_b,
+                                         stacked_w, perm, lrs, rngs)
+    float(losses[-1])
+    return (time.time() - t0) / (n_rounds * n_scan)
+
+
 def torch_baseline_seconds(batch) -> float:
     cache = Path(__file__).parent / 'bench_torch_baseline.json'
     key = f'{N_MOLS}x{N_CONFS}_seed{SEED}'
@@ -258,6 +301,20 @@ def main():
     protein['atoms'] = int(np.asarray(protein_batch.node_mask).sum())
     protein['confs'] = PROTEIN_N_CONFS
 
+    # whole-epoch dispatch (Trainer scan_epochs): same step, 30 steps per
+    # dispatch — isolates the per-dispatch host round-trip overhead
+    try:
+        scan_sec = measure_scan_epoch(batch, n_scan=30)
+        scan_epoch = {'steps_per_sec': round(1.0 / scan_sec, 3),
+                      'tflops': round(flops / scan_sec / 1e12, 2)
+                      if flops else None,
+                      'mfu': round(flops / scan_sec / PEAK_FLOPS_PER_SEC, 4)
+                      if flops else None,
+                      'speedup_vs_per_step_dispatch':
+                          round(jax_sec / scan_sec, 2)}
+    except Exception as exc:   # e.g. stacked cache does not fit HBM
+        scan_epoch = {'error': str(exc)[:200]}
+
     try:
         torch_sec = torch_baseline_seconds(batch)
     except Exception as exc:  # baseline failure must not kill the bench
@@ -280,6 +337,7 @@ def main():
         'bf16': bf16,
         'peak_mfu': peak,
         'protein_scale': protein,
+        'scan_epoch': scan_epoch,
     }))
 
 

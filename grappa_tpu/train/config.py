@@ -70,6 +70,10 @@ def default_config() -> Dict:
         # TPU-specific: dropout/shuffle PRNG ('rbg' is ~8% faster per step;
         # 'threefry2x32' reproduces pre-rbg runs bit-for-bit)
         "prng_impl": "rbg",
+        # TPU-specific: run each epoch as ONE jit dispatch (lax.scan over
+        # the device-resident batch cache) — amortizes the per-dispatch
+        # host round-trip on tunneled chips; needs cache_batches
+        "scan_epochs": False,
     }
 
     return {

@@ -77,6 +77,52 @@ def make_train_step(model, tx, donate: bool = True) -> Callable:
     return step
 
 
+def make_scan_epoch_step(model, tx, donate: bool = True) -> Callable:
+    """One XLA dispatch per EPOCH: lax.scan of the train step over
+    device-resident stacked batches.
+
+    On tunneled/remote chips every dispatch costs ~ms of host round-trip,
+    which dominates a step that computes in a few ms — the step breakdown
+    in PERF.md shows the pipeline is dispatch-bound, not compute-bound.
+    Scanning the whole epoch inside one jit amortizes that cost to once
+    per epoch. Requires cache_batches + fixed_pad (uniform shapes).
+
+    Returns jitted (params, opt_state, batches, weights, perm, lrs, rngs)
+    -> (params, opt_state, losses) where batches/weights are pytrees with
+    a leading n_steps axis, perm is the epoch's shuffle of that axis, and
+    lrs/rngs hold one entry per step."""
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def epoch(params, opt_state, batches, weights, perm, lrs, rngs):
+        shuffled_b = jax.tree.map(lambda x: jnp.take(x, perm, axis=0),
+                                  batches)
+        shuffled_w = jax.tree.map(lambda x: jnp.take(x, perm, axis=0),
+                                  weights)
+
+        def body(carry, xs):
+            p, o = carry
+            batch, w, lr, rng = xs
+
+            def loss_fn(pp):
+                pred = model.apply(pp, batch, deterministic=False,
+                                   rngs={'dropout': rng})
+                return molwise_loss(batch, pred, w)
+
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            updates, o2 = tx.update(grads, o, p)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            return (optax.apply_updates(p, updates), o2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            (shuffled_b, shuffled_w, lrs, rngs))
+        return params, opt_state, losses
+
+    return epoch
+
+
 def make_eval_step(model) -> Callable:
     @jax.jit
     def step(params, batch: GraphBatch):
@@ -95,11 +141,18 @@ class Trainer:
                  seed: int = 0,
                  cache_batches: bool = False,
                  mesh=None,
-                 prng_impl: str = 'rbg'):
+                 prng_impl: str = 'rbg',
+                 scan_epochs: Optional[bool] = None):
         """mesh: a jax.sharding.Mesh with a 'dp' axis enables data-parallel
         training — every optimizer step consumes mesh-size loader batches
         (which must share padded shapes: the loader's fixed_pad default),
-        computes per-device gradients and psum-averages them over ICI."""
+        computes per-device gradients and psum-averages them over ICI.
+
+        scan_epochs: run each epoch as ONE jit dispatch (lax.scan over the
+        device-resident batch cache) — amortizes the per-dispatch host
+        round-trip that dominates on tunneled chips. Requires
+        cache_batches and uniform batch shapes (fixed_pad); incompatible
+        with mesh. None reads trainer_config['scan_epochs'] (default off)."""
         self.model = model
         self.params = params
         self.train_loader = train_loader
@@ -141,6 +194,18 @@ class Trainer:
         # cached draw. Only for datasets whose batches fit in HBM.
         self.cache_batches = cache_batches
         self._batch_cache = None
+        if scan_epochs is None:
+            scan_epochs = bool(trainer_config.get('scan_epochs', False))
+        if scan_epochs and mesh is not None:
+            raise ValueError("scan_epochs is incompatible with mesh "
+                             "data parallelism")
+        if scan_epochs and not cache_batches:
+            raise ValueError("scan_epochs requires cache_batches=True "
+                             "(the scan consumes device-resident batches)")
+        self.scan_epochs = scan_epochs
+        self._scan_cache = None
+        if scan_epochs:
+            self.scan_step = make_scan_epoch_step(model, self.tx)
 
         self.epoch = 0
         self.global_step = 0
@@ -219,6 +284,8 @@ class Trainer:
         losses = []
         if self.mesh is not None:
             losses = self._train_epoch_dp()
+        elif self.scan_epochs:
+            losses = self._train_epoch_scan()
         else:
             for batch, ds_names in self._train_batches():
                 weights = self._loss_weights(ds_names, batch.num_mols)
@@ -277,6 +344,39 @@ class Trainer:
         if group:
             run_group(group, names_group)
         return losses
+
+    def _train_epoch_scan(self):
+        """One dispatch for the whole epoch: scan the train step over the
+        stacked device-resident batch cache (see make_scan_epoch_step)."""
+        from grappa_tpu.data.graph_batch import stack_batches
+
+        if self._scan_cache is None:
+            pairs = [(jax.device_put(b), n) for b, n in self.train_loader]
+            shapes = {tuple(x.shape for x in jax.tree.leaves(b))
+                      for b, _ in pairs}
+            if len(shapes) != 1:
+                raise ValueError(
+                    "scan_epochs needs uniform batch shapes — use a "
+                    "loader with fixed_pad=True (the training default)")
+            batches = stack_batches([b for b, _ in pairs])
+            weights = jax.tree.map(
+                lambda *xs: jnp.stack(xs, axis=0),
+                *[self._loss_weights(n, b.num_mols) for b, n in pairs])
+            self._scan_cache = (batches, weights, len(pairs))
+
+        batches, weights, n_steps = self._scan_cache
+        # per-step LR (advances the warmup counter exactly like the loop)
+        lrs = jnp.asarray([self._step_lr() for _ in range(n_steps)],
+                          jnp.float32)
+        self._rng, step_rng = jax.random.split(self._rng)
+        rngs = jax.random.split(step_rng, n_steps)
+        perm = jnp.asarray(np.random.default_rng(
+            int(jax.random.randint(self._rng, (), 0, 2 ** 31 - 1))
+        ).permutation(n_steps))
+        self.params, self.opt_state, losses = self.scan_step(
+            self.params, self.opt_state, batches, weights, perm, lrs, rngs)
+        self.global_step += n_steps
+        return list(np.asarray(losses))
 
     def _train_batches(self):
         if not self.cache_batches:

@@ -373,3 +373,90 @@ def test_loader_abandoned_iterator_joins_producer():
     assert not leaked, leaked
     # and the next epoch still works end to end
     assert sum(1 for _ in loader) == len(loader)
+
+
+def test_scan_epoch_matches_loop():
+    """make_scan_epoch_step (one dispatch per epoch) must produce exactly
+    the same params/opt_state/losses as the per-step loop given the same
+    batch order, per-step LRs and dropout keys."""
+    import jax.numpy as jnp
+    from grappa_tpu.data.graph_batch import stack_batches
+    from grappa_tpu.data.loader import GraphLoader
+    from grappa_tpu.train.loss import LossWeights
+    from grappa_tpu.train.trainer import (make_optimizer,
+                                          make_scan_epoch_step,
+                                          make_train_step)
+
+    mds = make_dataset(n_mols=6, n_confs=4, seed=12)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=2, conf_strategy=4, shuffle=True,
+                         seed=0, drop_last=True)
+    cfg = get_small_model_config()
+    cfg['gnn_dropout_attention'] = 0.2     # exercise the rng plumbing
+    model = make_model(cfg)
+    pairs = list(loader)
+    batch0 = pairs[0][0]
+    params = model.init(jax.random.key(0), batch0)
+    tx = make_optimizer()
+    opt_state = tx.init(params)
+
+    n = len(pairs)
+    w = [LossWeights(energy=jnp.float32(1.0), gradient=jnp.float32(0.8),
+                     param=jnp.full(b.num_mols, 1e-3, jnp.float32),
+                     proper_reg=jnp.float32(1e-3),
+                     improper_reg=jnp.float32(1e-3)) for b, _ in pairs]
+    lrs = jnp.asarray([1e-3, 5e-4, 2e-4][:n], jnp.float32)
+    rngs = jax.random.split(jax.random.key(7), n)
+    perm = jnp.asarray([2, 0, 1][:n])
+
+    # explicit loop in permuted order
+    step = make_train_step(model, tx, donate=False)
+    p_ref, o_ref = params, opt_state
+    losses_ref = []
+    for t in range(n):
+        i = int(perm[t])
+        p_ref, o_ref, loss, _ = step(p_ref, o_ref, pairs[i][0], w[i],
+                                     lrs[t], rngs[t])
+        losses_ref.append(float(loss))
+
+    # one scan dispatch
+    scan = make_scan_epoch_step(model, tx, donate=False)
+    stacked_b = stack_batches([b for b, _ in pairs])
+    stacked_w = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *w)
+    p_scan, o_scan, losses = scan(params, opt_state, stacked_b, stacked_w,
+                                  perm, lrs, rngs)
+
+    np.testing.assert_allclose(np.asarray(losses), losses_ref, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_scan), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_trainer_scan_epochs_smoke(tmp_path):
+    """Trainer(scan_epochs=True): fit runs, losses are finite, validation
+    and checkpointing work; requires cache_batches."""
+    mds = make_dataset(n_mols=8, n_confs=4, seed=13, learnable=True,
+                       conf_noise=0.08)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=4, conf_strategy=4, shuffle=True,
+                         seed=0, drop_last=True)
+    val_loader = GraphLoader(ds, batch_size=4, conf_strategy=4,
+                             shuffle=False)
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+    lit_cfg = {'lr': 2e-4, 'start_qm_epochs': 0, 'warmup_steps': 2}
+
+    with pytest.raises(ValueError, match='cache_batches'):
+        Trainer(model, params, loader, val_loader, lit_cfg,
+                {'max_epochs': 1}, scan_epochs=True)
+
+    trainer = Trainer(model, params, loader, val_loader, lit_cfg,
+                      {'max_epochs': 2, 'checkpoint_every': 1},
+                      out_dir=str(tmp_path / 'run'),
+                      cache_batches=True, scan_epochs=True)
+    out = trainer.fit()
+    assert len(out['history']) == 2
+    assert np.isfinite(out['best_early_stopping_loss'])
+    assert trainer.global_step == 2 * len(list(loader))
+    assert (tmp_path / 'run' / 'last.ckpt' / 'params.msgpack').exists()
