@@ -69,8 +69,19 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def _as_i32(arr) -> np.ndarray:
-    return np.ascontiguousarray(np.asarray(arr, dtype=np.int32)).reshape(-1, 2)
+def _as_i32(arr, n_atoms: Optional[int] = None) -> np.ndarray:
+    bonds = np.ascontiguousarray(
+        np.asarray(arr, dtype=np.int32)).reshape(-1, 2)
+    # the C++ side indexes vectors without bounds checks — malformed input
+    # must raise here (matching the pure-python fallback's IndexError), not
+    # corrupt the heap
+    if bonds.size:
+        if bonds.min() < 0:
+            raise IndexError(f"negative bond index: {bonds.min()}")
+        if n_atoms is not None and bonds.max() >= n_atoms:
+            raise IndexError(
+                f"bond index {bonds.max()} >= n_atoms ({n_atoms})")
+    return bonds
 
 
 def enumerate_tuples(bonds) -> Optional[Tuple[np.ndarray, np.ndarray]]:
@@ -100,7 +111,7 @@ def neighbor_list(bonds, n_atoms: int, max_neighbors: int
     lib = get_lib()
     if lib is None:
         return None
-    bonds = _as_i32(bonds)
+    bonds = _as_i32(bonds, n_atoms)
     neighbors = np.zeros((n_atoms, max_neighbors), np.int32)
     mask = np.zeros((n_atoms, max_neighbors), np.uint8)
     rc = lib.neighbor_list(
@@ -119,7 +130,7 @@ def ring_encoding(bonds, n_atoms: int) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
         return None
-    bonds = _as_i32(bonds)
+    bonds = _as_i32(bonds, n_atoms)
     out = np.zeros((n_atoms, 7), np.float32)
     lib.ring_encoding(
         bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -225,8 +225,12 @@ def compare_parameters(params_x: Union[Parameters, Sequence[Parameters]],
     for ax, (key, label) in zip(axes.flat, _PARAM_PANELS):
         x = np.concatenate([_values(p, key) for p in params_x])
         y = np.concatenate([_values(p, key) for p in params_y])
-        n = min(len(x), len(y))
-        x, y = x[:n], y[:n]
+        if len(x) != len(y):
+            # silently truncating would scatter wrongly paired tuples —
+            # a plausible-looking but meaningless calibration plot
+            raise ValueError(
+                f"{key}: {len(x)} reference vs {len(y)} predicted values — "
+                f"the parameter sets enumerate different tuples")
         good = np.isfinite(x) & np.isfinite(y)
         x, y = x[good], y[good]
         if len(x):

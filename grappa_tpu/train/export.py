@@ -83,11 +83,12 @@ def model_from_dict(model_dict: Dict):
     config = model_dict['config']
     model_config = config.get('model_config', config)
     sd = model_dict['state_dict']
-    has_buffers = any('to_k' in k or k.endswith('k_std') for k in sd)
-    if has_buffers:
-        params, stats = import_state_dict(sd, model_config)
+    params, stats = import_state_dict(sd, model_config,
+                                      require_buffers=False)
+    if stats is not None:
         model = make_model(model_config, stats, eps_applied=True)
     else:
-        params, _ = import_state_dict(sd, model_config)
+        # buffer-less checkpoint: scalers fall back to the stored config's
+        # default statistics
         model = make_model(model_config)
     return model, params, config

@@ -56,8 +56,18 @@ def markdown_table(results: Dict[str, Dict[str, Dict]],
         best = min(numeric) if numeric else None
         cells = [_fmt(v, ci, bold=(v is not None and v == best))
                  for v, ci in values]
-        lines.append(f'| {ds} | {label} | ' + ' | '.join(cells) + ' |')
+        ds_md = ds.replace('|', r'\|')
+        lines.append(f'| {ds_md} | {label} | ' + ' | '.join(cells) + ' |')
     return '\n'.join(lines) + '\n'
+
+
+def _tex_escape(s: str) -> str:
+    """Escape LaTeX specials in names (dataset tags / sweep run names
+    routinely contain underscores, which would otherwise fail to compile)."""
+    for ch in ('\\', '&', '%', '$', '#', '_', '{', '}'):
+        s = s.replace(ch, ('\\textbackslash{}' if ch == '\\'
+                           else '\\' + ch))
+    return s
 
 
 def tex_table(results: Dict[str, Dict[str, Dict]],
@@ -66,7 +76,8 @@ def tex_table(results: Dict[str, Dict[str, Dict]],
                              'RMSE [kcal/mol/\\AA] on the test splits.') -> str:
     models = list(results.keys())
     cols = 'll' + 'r' * len(models)
-    header = ' & '.join(['Dataset', 'Metric'] + models) + r' \\'
+    header = ' & '.join(['Dataset', 'Metric']
+                        + [_tex_escape(m) for m in models]) + r' \\'
     lines = [r'\begin{table}', r'\centering',
              r'\begin{tabular}{' + cols + '}', r'\toprule', header,
              r'\midrule']
@@ -76,7 +87,7 @@ def tex_table(results: Dict[str, Dict[str, Dict]],
         best = min(numeric) if numeric else None
         cells = [_fmt(v, ci, bold=(v is not None and v == best), tex=True)
                  for v, ci in values]
-        ds_cell = ds if ds != last_ds else ''
+        ds_cell = _tex_escape(ds) if ds != last_ds else ''
         last_ds = ds
         lines.append(' & '.join([ds_cell, label] + cells) + r' \\')
     lines += [r'\bottomrule', r'\end{tabular}',

@@ -190,7 +190,20 @@ def run_sweep(base_config: Dict, spec: Dict[str, Tuple], n_trials: int,
             except Exception as exc:
                 record['error'] = f'{type(exc).__name__}: {exc}'
                 traceback.print_exc()
-            log.write(json.dumps(record) + '\n')
+            log.write(json.dumps(_json_safe(record)) + '\n')
             log.flush()
-    (sweep_dir / 'best.json').write_text(json.dumps(best, indent=1))
+    (sweep_dir / 'best.json').write_text(
+        json.dumps(_json_safe(best), indent=1))
     return best
+
+
+def _json_safe(obj):
+    """Replace inf/nan floats with None: json.dumps would emit the non-RFC
+    'Infinity'/'NaN' tokens, which strict parsers (jq, pandas) reject."""
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj

@@ -38,8 +38,13 @@ _WRITERS = (('bond', 'n2', 'bond_model'), ('angle', 'n3', 'angle_model'),
 
 
 def _t(x):
-    """numpy array -> torch tensor."""
-    import torch
+    """numpy array -> torch tensor (plain numpy when torch is absent, so
+    the .npz export path works torch-free; save_model_dict's .pth branch
+    needs torch anyway and np arrays round-trip identically via .npz)."""
+    try:
+        import torch
+    except ModuleNotFoundError:
+        return np.asarray(x)
     return torch.tensor(np.asarray(x))
 
 
@@ -273,11 +278,10 @@ def export_state_dict(params: Dict, model_config: Dict,
         # (all-ones) prefactors as buffers (perm_equiv_transformer.py:
         # 318-319) — the published .pth contains them, so the export must too
         perms = _writer_permutations(writer, cfg)
-        import torch
-        sd[f'{base}.{model_name}.symmetriser.permutations'] = torch.tensor(
-            perms, dtype=torch.int32)
-        sd[f'{base}.{model_name}.symmetriser.permutation_prefactors'] = \
-            torch.ones(len(perms), dtype=torch.float32)
+        sd[f'{base}.{model_name}.symmetriser.permutations'] = _t(
+            np.asarray(perms, np.int32))
+        sd[f'{base}.{model_name}.symmetriser.permutation_prefactors'] = _t(
+            np.ones(len(perms), np.float32))
         if stats is not None:
             term = {'bond': 'n2', 'angle': 'n3', 'proper': 'n4',
                     'improper': 'n4_improper'}[writer]
@@ -324,7 +328,8 @@ def stats_from_model(model) -> Dict:
 
 
 def import_state_dict(state_dict: Dict, model_config: Dict,
-                      verbose: bool = True) -> Tuple[Dict, Dict]:
+                      verbose: bool = True,
+                      require_buffers: bool = True) -> Tuple[Dict, Dict]:
     """reference-named torch state_dict -> (flax params, param_statistics).
 
     The returned statistics carry the exact scaler values stored in the
@@ -342,6 +347,7 @@ def import_state_dict(state_dict: Dict, model_config: Dict,
     cfg.update(model_config or {})
     consumed: set = set()
     missing: list = []
+    buffers_absent: list = []
 
     def arr(name):
         if name not in state_dict:
@@ -352,6 +358,14 @@ def import_state_dict(state_dict: Dict, model_config: Dict,
         if hasattr(v, 'numpy'):
             v = v.detach().cpu().numpy()
         return np.asarray(v, np.float32)
+
+    def buf(name):
+        # scaler-statistic buffer: optional when require_buffers=False (a
+        # buffer-less checkpoint builds its scalers from the config instead)
+        if name not in state_dict and not require_buffers:
+            buffers_absent.append(name)
+            return np.zeros((1,), np.float32)
+        return arr(name)
 
     def lin(name, bias=True):
         d = {'kernel': arr(f'{name}.weight').T}
@@ -426,8 +440,8 @@ def import_state_dict(state_dict: Dict, model_config: Dict,
 
         # scaler buffers -> statistics (exact values incl. epsilon)
         if writer in ('bond', 'angle'):
-            k_std = arr(f'{base}.to_k.std').reshape(-1)
-            k_mos = arr(f'{base}.to_k.mean_over_std').reshape(-1)
+            k_std = buf(f'{base}.to_k.std').reshape(-1)
+            k_mos = buf(f'{base}.to_k.mean_over_std').reshape(-1)
             stats['mean'][f'{term}_k'] = k_mos * k_std
             stats['std'][f'{term}_k'] = k_std
             if f'{base}.to_k.min_' in state_dict:
@@ -435,8 +449,8 @@ def import_state_dict(state_dict: Dict, model_config: Dict,
                 if float(np.asarray(_np(state_dict[f'{base}.to_k.min_']))):
                     raise ValueError(f'{base}.to_k.min_ != 0 is unsupported')
             if writer == 'bond':
-                eq_std = arr(f'{base}.to_eq.std').reshape(-1)
-                eq_mos = arr(f'{base}.to_eq.mean_over_std').reshape(-1)
+                eq_std = buf(f'{base}.to_eq.std').reshape(-1)
+                eq_mos = buf(f'{base}.to_eq.mean_over_std').reshape(-1)
                 stats['mean'][f'{term}_eq'] = eq_mos * eq_std
                 stats['std'][f'{term}_eq'] = eq_std
                 if f'{base}.to_eq.min_' in state_dict:
@@ -446,13 +460,13 @@ def import_state_dict(state_dict: Dict, model_config: Dict,
                         raise ValueError(
                             f'{base}.to_eq.min_ != 0 is unsupported')
             else:
-                som = arr(f'{base}.to_eq.std_over_max').reshape(-1)
-                mx = arr(f'{base}.to_eq.max').reshape(-1)
+                som = buf(f'{base}.to_eq.std_over_max').reshape(-1)
+                mx = buf(f'{base}.to_eq.max').reshape(-1)
                 stats['mean'][f'{term}_eq'] = np.array([np.pi / 2], np.float32)
                 stats['std'][f'{term}_eq'] = som * mx
         else:
-            stats['mean'][f'{term}_k'] = arr(f'{base}.k_mean').reshape(-1)
-            stats['std'][f'{term}_k'] = arr(f'{base}.k_std').reshape(-1)
+            stats['mean'][f'{term}_k'] = buf(f'{base}.k_mean').reshape(-1)
+            stats['std'][f'{term}_k'] = buf(f'{base}.k_std').reshape(-1)
             if f'{base}.n_periodicity' in state_dict:
                 consumed.add(f'{base}.n_periodicity')
                 stored = int(np.asarray(_np(state_dict[f'{base}.n_periodicity'])))
@@ -523,7 +537,8 @@ def import_state_dict(state_dict: Dict, model_config: Dict,
             f'not consumed (ignored): {unused[:40]}'
             + (' ...' if len(unused) > 40 else ''))
 
-    return {'params': params}, stats
+    # buffer-less checkpoint: the caller builds scalers from the config
+    return {'params': params}, (None if buffers_absent else stats)
 
 
 def _np(v):

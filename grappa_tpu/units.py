@@ -68,6 +68,12 @@ class Unit:
                         f"{self.name}/{other.name}" if self.name and other.name else "")
         return NotImplemented
 
+    def __rtruediv__(self, other):
+        # 1.0 / picosecond — the standard openmm inverse-unit idiom
+        if isinstance(other, (int, float, np.number, np.ndarray)):
+            return Quantity(other, self ** -1)
+        return NotImplemented
+
     def __pow__(self, k: int) -> "Unit":
         return Unit(self.scale ** k, _dim_mul(self.dims, k),
                     f"{self.name}**{k}" if self.name else "")
@@ -115,6 +121,12 @@ class Quantity:
         if isinstance(other, Unit):
             return Quantity(self.value, self.unit / other)
         return Quantity(self.value / other, self.unit)
+
+    def __rtruediv__(self, other):
+        # scalar / Quantity -> Quantity in the inverse unit
+        if isinstance(other, (int, float, np.number, np.ndarray)):
+            return Quantity(other / self.value, self.unit ** -1)
+        return NotImplemented
 
     def __add__(self, other: "Quantity"):
         return Quantity(self.value + other.value_in_unit(self.unit), self.unit)

@@ -159,3 +159,71 @@ def test_learnable_statistics():
     model2 = make_model(get_small_model_config())
     params2 = model2.init(jax.random.key(0), batch)
     assert 'k_mean' not in params2['params']['bond_writer']
+
+
+def test_units_reflected_division():
+    """1/ps and scalar/Quantity — the openmm inverse-unit idioms."""
+    from grappa_tpu.units import picosecond, nanometer, Quantity
+
+    freq = 1.0 / picosecond
+    assert isinstance(freq, Quantity)
+    assert freq.unit.dims == tuple(-d for d in picosecond.dims)
+    q = Quantity(2.0, nanometer)
+    inv = 4.0 / q
+    assert np.isclose(inv.value, 2.0)
+    assert inv.unit.dims == tuple(-d for d in nanometer.dims)
+
+
+def test_report_escapes_latex_and_markdown():
+    from grappa_tpu.train.report import markdown_table, tex_table
+    results = {'my_model': {'spice_pubchem': {
+        'rmse_energies': 2.0, 'crmse_gradients': 6.0}}}
+    tex = tex_table(results)
+    assert 'my\\_model' in tex and 'spice\\_pubchem' in tex
+    md = markdown_table(results)
+    assert 'spice_pubchem' in md
+
+
+def test_sweep_json_safe_inf():
+    from grappa_tpu.train.sweep import _json_safe
+    import json as _json
+    rec = {'loss': float('inf'), 'nested': [float('nan'), 1.0],
+           'ok': 2.5}
+    s = _json.dumps(_json_safe(rec))
+    assert 'Infinity' not in s and 'NaN' not in s
+    assert _json.loads(s) == {'loss': None, 'nested': [None, 1.0],
+                              'ok': 2.5}
+
+
+def test_bufferless_model_dict_roundtrip(tmp_path):
+    """A model_dict exported WITHOUT scaler buffers (model=None in
+    build_model_dict) must load via the documented config fallback
+    instead of raising KeyError (round-3 review regression)."""
+    import jax
+    from grappa_tpu.data import collate
+    from grappa_tpu.models.grappa_model import (get_small_model_config,
+                                                make_model)
+    from grappa_tpu.train.export import (build_model_dict, load_model_dict,
+                                         model_from_dict, save_model_dict)
+
+    md = make_moldata(seed=5, n_confs=2)
+    batch = collate([MolGraph.from_moldata(md)])
+    cfg = {'model_config': get_small_model_config()}
+    model = make_model(cfg['model_config'])
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    d = build_model_dict(params, cfg, split_names={}, results={})
+    path = tmp_path / 'bufferless.npz'
+    save_model_dict(d, path)
+    model2, params2, _ = model_from_dict(load_model_dict(path))
+    pred = model2.apply(params2, batch)
+    assert np.isfinite(np.asarray(pred['n2_k'])).all()
+
+
+def test_native_rejects_out_of_range_bonds():
+    from grappa_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    with pytest.raises(IndexError):
+        native.neighbor_list([(0, 5)], n_atoms=3, max_neighbors=4)
+    with pytest.raises(IndexError):
+        native.ring_encoding([(-1, 1)], n_atoms=3)
