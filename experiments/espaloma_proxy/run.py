@@ -125,6 +125,9 @@ def train(epochs: int = 150, out_dir: str = None):
     })
     config['trainer_config']['max_epochs'] = epochs
     config['trainer_config']['name'] = 'espaloma-proxy'
+    # one jit dispatch per epoch (exact-equivalence tested): the dominant
+    # cost on the tunneled chip is per-step dispatch latency
+    config['trainer_config']['scan_epochs'] = True
 
     run_dir = Path(out_dir or str(HERE / 'runs')) / 'espaloma-proxy'
     if (run_dir / 'last.ckpt').exists():
