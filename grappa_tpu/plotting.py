@@ -226,11 +226,15 @@ def compare_parameters(params_x: Union[Parameters, Sequence[Parameters]],
         x = np.concatenate([_values(p, key) for p in params_x])
         y = np.concatenate([_values(p, key) for p in params_y])
         if len(x) != len(y):
-            # silently truncating would scatter wrongly paired tuples —
-            # a plausible-looking but meaningless calibration plot
-            raise ValueError(
-                f"{key}: {len(x)} reference vs {len(y)} predicted values — "
-                f"the parameter sets enumerate different tuples")
+            # different tuple/periodicity enumerations (e.g. classical
+            # impropers store only assigned versions while predictions
+            # cover all 3 cyclic versions): truncating would scatter
+            # wrongly paired values, so annotate the panel instead
+            ax.text(0.5, 0.5, f'tuple sets differ\n({len(x)} vs {len(y)})',
+                    ha='center', va='center', transform=ax.transAxes,
+                    fontsize=9, color='0.4')
+            ax.set_title(label)
+            continue
         good = np.isfinite(x) & np.isfinite(y)
         x, y = x[good], y[good]
         if len(x):
