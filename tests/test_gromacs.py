@@ -484,3 +484,15 @@ def test_disconnected_focus_components(gmx_model, tmp_path):
     assert any(r[:2] == ['15', '16'] and r[4] == '250000.0' for r in bonds)
     # the wrapper recorded one prediction per component
     assert len(gmx_model.last_predictions['CHAIN']) == 2
+
+
+def test_atomtype_info_six_column_layout():
+    """[atomtypes] without the optional at.num column (6 fields): mass is
+    still found two fields before the particle-type letter."""
+    top = GromacsTopology.parse("""\
+[ atomtypes ]
+; name  mass     charge  ptype  sigma    epsilon
+  OW    15.9994  0.000   A      0.31507  0.63639
+""")
+    info = top.atomtype_info()
+    assert info['OW'] == (None, pytest.approx(15.9994))
