@@ -486,3 +486,32 @@ def test_elapsed_time_accumulates_across_resume(tmp_path):
     meta2 = json.loads((tmp_path / 'runs' / 'el' / 'last.ckpt'
                         / 'meta.json').read_text())
     assert meta2['elapsed_time'] > t1
+
+
+def test_do_trainrun_scan_epochs_config(tmp_path):
+    """The espaloma-proxy path: scan_epochs set via trainer_config, batches
+    cached — do_trainrun must train, validate, checkpoint, test-eval and
+    export exactly like the loop path."""
+    from grappa_tpu.train.export import load_model_dict
+    from grappa_tpu.train.run import do_trainrun
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=8, n_confs=4, seed=21,
+                                      learnable=True),
+                         'syn-scan').save(ds_dir)
+    config = _small_config(ds_dir, max_epochs=2)
+    config['data_config']['partition'] = [0.5, 0.25, 0.25]
+    config['trainer_config']['scan_epochs'] = True
+    config['trainer_config']['checkpoint_every'] = 1
+    out = do_trainrun(config, project_dir=str(tmp_path / 'runs'),
+                      run_name='scan', cache_batches=True)
+    assert out['trainer'].epoch == 2
+    assert len(out['results']['history']) == 2
+    md = load_model_dict(out['model_dict_path'])
+    assert (md.get('results') or {}).get('test')
+    # and resume continues with the stored scan config
+    from grappa_tpu.train.run import resume_trainrun
+    out2 = resume_trainrun(str(tmp_path / 'runs' / 'scan'), extra_epochs=1,
+                           cache_batches=True)
+    assert out2['trainer'].epoch == 3
+    assert out2['trainer'].scan_epochs is True
