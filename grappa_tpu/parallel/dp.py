@@ -96,6 +96,80 @@ def make_dp_train_step(model, tx, mesh: Mesh, donate: bool = True) -> Callable:
     return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
 
+def make_dp_scan_epoch_step(model, tx, mesh: Mesh,
+                            donate: bool = True) -> Callable:
+    """One XLA dispatch per data-parallel EPOCH: lax.scan of the dp train
+    step over the stacked device-resident batch cache (the multi-chip
+    analog of trainer.make_scan_epoch_step — dispatch latency rides DCN/
+    the tunnel once per epoch instead of once per step).
+
+    Returns jitted
+      (params, opt_state, flat_batches, flat_weights, slot_scale, perm,
+       lrs, rngs) -> (params, opt_state, losses)
+    where flat_batches/flat_weights carry a leading slot axis of length
+    n_groups*n_dev (real batches first, padding replicas last), slot_scale
+    is the per-SLOT weight factor (1 for full groups, n_dev/k for the
+    trailing group's k real slots, 0 for padding — the same zero-padding
+    trick as Trainer._train_epoch_dp), perm permutes the REAL slots for
+    the epoch shuffle, lrs is (n_groups,), rngs is (n_groups, n_dev)."""
+    from functools import partial
+
+    def local_step(params, opt_state, batch, weights, lr, rng):
+        batch = _squeeze0(batch)
+        weights = _squeeze0(weights)
+        rng = rng.reshape(())
+
+        def loss_fn(p):
+            pred = model.apply(p, batch, deterministic=False,
+                               rngs={'dropout': rng})
+            return molwise_loss(batch, pred, weights)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
+        grads = jax.lax.pmean(grads, 'dp')
+        loss = jax.lax.pmean(loss, 'dp')
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    def sharded_epoch(params, opt_state, batches, weights, lrs, rngs):
+        # per-device view: batches/weights leaves (n_groups, 1, ...)
+        def body(carry, xs):
+            p, o = carry
+            batch, w, lr, rng = xs
+            p, o, loss = local_step(p, o, batch, w, lr, rng)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, weights, lrs, rngs))
+        return params, opt_state, losses
+
+    run = jax.shard_map(
+        sharded_epoch, mesh=mesh,
+        in_specs=(P(), P(), P(None, 'dp'), P(None, 'dp'), P(),
+                  P(None, 'dp')),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def epoch(params, opt_state, flat_batches, flat_weights, slot_scale,
+              perm, lrs, rngs):
+        n_dev = mesh.devices.size
+        b = jax.tree.map(lambda x: jnp.take(x, perm, axis=0), flat_batches)
+        w = jax.tree.map(
+            lambda x: (jnp.take(x, perm, axis=0)
+                       * slot_scale.reshape((-1,) + (1,) * (x.ndim - 1))),
+            flat_weights)
+        grouped_b = jax.tree.map(
+            lambda x: x.reshape((-1, n_dev) + x.shape[1:]), b)
+        grouped_w = jax.tree.map(
+            lambda x: x.reshape((-1, n_dev) + x.shape[1:]), w)
+        return run(params, opt_state, grouped_b, grouped_w, lrs, rngs)
+
+    return epoch
+
+
 def make_dp_eval_step(model, mesh: Mesh) -> Callable:
     """Data-parallel inference: returns per-device stacked (energy, gradient)."""
 

@@ -196,16 +196,19 @@ class Trainer:
         self._batch_cache = None
         if scan_epochs is None:
             scan_epochs = bool(trainer_config.get('scan_epochs', False))
-        if scan_epochs and mesh is not None:
-            raise ValueError("scan_epochs is incompatible with mesh "
-                             "data parallelism")
         if scan_epochs and not cache_batches:
             raise ValueError("scan_epochs requires cache_batches=True "
                              "(the scan consumes device-resident batches)")
         self.scan_epochs = scan_epochs
         self._scan_cache = None
+        self._dp_scan_cache = None
         if scan_epochs:
-            self.scan_step = make_scan_epoch_step(model, self.tx)
+            if mesh is not None:
+                from grappa_tpu.parallel.dp import make_dp_scan_epoch_step
+                self.dp_scan_step = make_dp_scan_epoch_step(model, self.tx,
+                                                            mesh)
+            else:
+                self.scan_step = make_scan_epoch_step(model, self.tx)
 
         self.epoch = 0
         self.global_step = 0
@@ -282,7 +285,9 @@ class Trainer:
             self._warmup_step = 0
 
         losses = []
-        if self.mesh is not None:
+        if self.mesh is not None and self.scan_epochs:
+            losses = self._train_epoch_dp_scan()
+        elif self.mesh is not None:
             losses = self._train_epoch_dp()
         elif self.scan_epochs:
             losses = self._train_epoch_scan()
@@ -376,6 +381,52 @@ class Trainer:
         self.params, self.opt_state, losses = self.scan_step(
             self.params, self.opt_state, batches, weights, perm, lrs, rngs)
         self.global_step += n_steps
+        return list(np.asarray(losses))
+
+    def _train_epoch_dp_scan(self):
+        """One dispatch per data-parallel epoch (parallel.dp.
+        make_dp_scan_epoch_step). The flat slot cache holds the real
+        batches first and padding replicas last; trailing-group weight
+        scaling is positional (slot_scale), so the per-epoch shuffle of
+        the REAL slots keeps the loop path's exact group semantics."""
+        from grappa_tpu.data.graph_batch import stack_batches
+        from grappa_tpu.parallel.dp import stack_loss_weights
+
+        n_dev = self._n_dev
+        if self._dp_scan_cache is None:
+            pairs = [(jax.device_put(b), n) for b, n in self.train_loader]
+            n_real = len(pairs)
+            n_groups = -(-n_real // n_dev)
+            n_slots = n_groups * n_dev
+            base_w = [self._loss_weights(n, b.num_mols) for b, n in pairs]
+            slots_b = [b for b, _ in pairs]
+            slots_w = list(base_w)
+            for i in range(n_slots - n_real):   # padding replicas (zeroed
+                slots_b.append(pairs[i % n_real][0])   # via slot_scale)
+                slots_w.append(base_w[i % n_real])
+            scale = np.ones(n_slots, np.float32)
+            k = n_real - (n_groups - 1) * n_dev
+            if k < n_dev:
+                scale[(n_groups - 1) * n_dev:n_real] = n_dev / k
+                scale[n_real:] = 0.0
+            self._dp_scan_cache = (
+                stack_batches(slots_b), stack_loss_weights(slots_w),
+                jnp.asarray(scale), n_real, n_groups, n_slots)
+
+        flat_b, flat_w, scale, n_real, n_groups, n_slots = \
+            self._dp_scan_cache
+        host_rng = np.random.default_rng(
+            int(jax.random.randint(self._rng, (), 0, 2 ** 31 - 1)))
+        perm = jnp.asarray(np.concatenate([
+            host_rng.permutation(n_real), np.arange(n_real, n_slots)]))
+        lrs = jnp.asarray([self._step_lr() for _ in range(n_groups)],
+                          jnp.float32)
+        self._rng, step_rng = jax.random.split(self._rng)
+        rngs = jax.random.split(step_rng, n_slots).reshape(n_groups, n_dev)
+        self.params, self.opt_state, losses = self.dp_scan_step(
+            self.params, self.opt_state, flat_b, flat_w, scale, perm,
+            lrs, rngs)
+        self.global_step += n_groups
         return list(np.asarray(losses))
 
     def _train_batches(self):

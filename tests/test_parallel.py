@@ -293,3 +293,68 @@ def test_atom_sharded_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(sp_params), jax.tree.leaves(ref_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_dp_scan_epoch_matches_looped_dp_steps(setup):
+    """make_dp_scan_epoch_step (one dispatch per DP epoch) must equal the
+    looped dp-step path with the same group assignment, including the
+    trailing partial group's positional weight scaling + zero-padding."""
+    import optax as _optax
+
+    from grappa_tpu.data.graph_batch import stack_batches
+    from grappa_tpu.parallel.dp import make_dp_scan_epoch_step
+
+    model, params, batches, _ = setup
+    mesh = make_mesh(N_DEV)
+    tx = _optax.chain(_optax.clip_by_global_norm(1e9), _optax.scale(-1.0))
+
+    # 11 real batches over 8 devices -> 2 groups, trailing k=3
+    reals = (batches + batches[:3])[:11]
+    n_real, n_dev = len(reals), N_DEV
+    n_groups = -(-n_real // n_dev)
+    n_slots = n_groups * n_dev
+    k = n_real - (n_groups - 1) * n_dev
+    base_w = [_weights(b.num_mols) for b in reals]
+    lrs = jnp.asarray([1e-3, 5e-4], jnp.float32)
+    rngs = jax.random.split(jax.random.key(5), n_slots).reshape(
+        n_groups, n_dev)
+
+    # reference: the Trainer loop's run_group semantics, group by group
+    dp_step = make_dp_train_step(model, tx, mesh, donate=False)
+    p_ref = params
+    o_ref = tx.init(params)
+    losses_ref = []
+    for g in range(n_groups):
+        grp = reals[g * n_dev:(g + 1) * n_dev]
+        wts = [base_w[i] for i in range(g * n_dev,
+                                        min((g + 1) * n_dev, n_real))]
+        if len(grp) < n_dev:
+            scale = jnp.float32(n_dev / len(grp))
+            wts = [jax.tree.map(lambda x: x * scale, w) for w in wts]
+            n_pad = n_dev - len(grp)
+            for i in range(n_pad):
+                grp.append(grp[i % len(grp)])
+                wts.append(jax.tree.map(jnp.zeros_like, wts[i % k]))
+        p_ref, o_ref, loss, _ = dp_step(
+            p_ref, o_ref, shard_batches(grp), stack_loss_weights(wts),
+            lrs[g], rngs[g])
+        losses_ref.append(float(loss))
+
+    # one scan dispatch with the identity permutation
+    scan = make_dp_scan_epoch_step(model, tx, mesh, donate=False)
+    slots_b = list(reals) + [reals[i % n_real]
+                             for i in range(n_slots - n_real)]
+    slots_w = base_w + [base_w[i % n_real]
+                        for i in range(n_slots - n_real)]
+    scale = np.ones(n_slots, np.float32)
+    scale[(n_groups - 1) * n_dev:n_real] = n_dev / k
+    scale[n_real:] = 0.0
+    p_scan, o_scan, losses = scan(
+        params, tx.init(params), stack_batches(slots_b),
+        stack_loss_weights(slots_w), jnp.asarray(scale),
+        jnp.arange(n_slots), lrs, rngs)
+
+    np.testing.assert_allclose(np.asarray(losses), losses_ref, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_scan), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
