@@ -28,6 +28,7 @@ kcal/mol and crmse_gradients <= 1.5 kcal/mol/A on every subdataset.
 Usage:
   python experiments/espaloma_proxy/run.py generate   # build + cache data
   python experiments/espaloma_proxy/run.py train [--epochs 150]
+  python experiments/espaloma_proxy/run.py table      # table.md/.tex + gate
   python experiments/espaloma_proxy/run.py all
 """
 import argparse
@@ -158,12 +159,46 @@ def train(epochs: int = 150, out_dir: str = None):
     }
     (HERE / 'proxy_results.json').write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary, indent=1))
+    try:
+        table()
+    except Exception as exc:  # results are already on disk — don't lose them
+        print(f'table generation failed (rerun the table stage): {exc}')
     return summary
+
+
+# Regression gate (RESULTS.md): every subdataset must stay under these on
+# the 10% held-out test split. Tighter than BASELINE.md's QM-target RMSEs
+# because the proxy oracle is a single smooth MM force field.
+GATE = {'rmse_energies': 1.0, 'crmse_gradients': 1.5}
+
+
+def table(out_dir: Path = None):
+    """Render proxy_results.json into the espaloma-style results table
+    (counterpart of reference experiments/evaluation/espaloma_benchmark/
+    make_table_dict.py -> make_tex_table.py -> table.tex) and evaluate the
+    regression gate. Writes table.md, table.tex, gate.json."""
+    out_dir = Path(out_dir) if out_dir else HERE
+    summary = json.loads((out_dir / 'proxy_results.json').read_text())
+    test = summary.get('test') or {}
+    if not test:
+        raise RuntimeError('proxy_results.json has no test metrics yet')
+    from grappa_tpu.train.report import write_report
+    write_report({'grappa_tpu': test}, str(out_dir / 'table'), with_ci=True)
+    gate = {
+        ds: {k: (m.get(k) is not None and float(m[k]) <= lim)
+             for k, lim in GATE.items()}
+        for ds, m in test.items() if ds != 'avg'
+    }
+    ok = bool(gate) and all(all(v.values()) for v in gate.values())
+    verdict = {'pass': ok, 'limits': GATE, 'per_dataset': gate}
+    (out_dir / 'gate.json').write_text(json.dumps(verdict, indent=1))
+    print(f'wrote {out_dir}/table.md .tex; gate: {"PASS" if ok else "FAIL"}')
+    return verdict
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('stage', choices=['generate', 'train', 'all'])
+    ap.add_argument('stage', choices=['generate', 'train', 'table', 'all'])
     ap.add_argument('--epochs', type=int, default=150)
     ap.add_argument('--workers', type=int, default=8)
     args = ap.parse_args()
@@ -171,6 +206,8 @@ def main():
         generate(workers=args.workers)
     if args.stage in ('train', 'all'):
         train(epochs=args.epochs)
+    if args.stage == 'table':
+        table()
 
 
 if __name__ == '__main__':

@@ -140,6 +140,37 @@ def test_learning_curve_harness(tmp_path):
         {k: v['train_mols'] for k, v in stored.items()}
 
 
+def test_espaloma_proxy_table_stage(tmp_path):
+    """The table stage renders proxy_results.json into the espaloma-style
+    markdown/LaTeX tables (reference experiments/evaluation/
+    espaloma_benchmark/make_tex_table.py) and evaluates the regression
+    gate, independent of whether the on-chip run has happened."""
+    from espaloma_proxy.run import GATE, table
+    results = {'test': {
+        'proxy-peptide': {'rmse_energies': 0.6, 'rmse_gradients': 1.9,
+                          'crmse_gradients': 1.1,
+                          'rmse_energies_ci': [0.5, 0.7]},
+        'proxy-rna-like': {'rmse_energies': 1.4, 'rmse_gradients': 2.1,
+                           'crmse_gradients': 1.2},
+    }}
+    (tmp_path / 'proxy_results.json').write_text(json.dumps(results))
+    verdict = table(out_dir=tmp_path)
+    assert not verdict['pass']  # rna-like energy 1.4 > gate 1.0
+    assert verdict['per_dataset']['proxy-peptide'] == {
+        'rmse_energies': True, 'crmse_gradients': True}
+    assert not verdict['per_dataset']['proxy-rna-like']['rmse_energies']
+    md = (tmp_path / 'table.md').read_text()
+    assert 'proxy-peptide' in md and '[0.5,0.7]' in md
+    tex = (tmp_path / 'table.tex').read_text()
+    assert r'\begin{table}' in tex and 'proxy-rna-like' in tex
+    assert json.loads((tmp_path / 'gate.json').read_text())['limits'] == GATE
+
+    # all-green results pass the gate
+    results['test']['proxy-rna-like']['rmse_energies'] = 0.8
+    (tmp_path / 'proxy_results.json').write_text(json.dumps(results))
+    assert table(out_dir=tmp_path)['pass']
+
+
 PROXY_RESULTS = (Path(__file__).parent.parent / 'experiments'
                  / 'espaloma_proxy' / 'proxy_results.json')
 
