@@ -107,14 +107,21 @@ def generate(workers: int = 8):
     return split
 
 
-def train(epochs: int = 150, out_dir: str = None):
+def train(epochs: int = 150, out_dir: str = None, base_config: dict = None):
+    """Train through the production path. `base_config` (default: the
+    benchmark yaml) exists so the whole flow — config mutation, tag
+    resolution through GRAPPA_TPU_CACHE, splitpath, resume, summary/table
+    generation — can be smoke-tested at tiny scale on CPU before a real
+    chip run commits hours to it (tests/test_experiments.py)."""
+    import copy
     os.environ['GRAPPA_TPU_CACHE'] = str(CACHE)
     from grappa_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from grappa_tpu.train.config import read_yaml
     from grappa_tpu.train.run import do_trainrun, resume_trainrun
 
-    config = read_yaml(HERE.parent / 'benchmark' / 'grappa_config.yaml')
+    config = (copy.deepcopy(base_config) if base_config is not None else
+              read_yaml(HERE.parent / 'benchmark' / 'grappa_config.yaml'))
     config['data_config'].update({
         'datasets': sorted(SPECS),
         'pure_train_datasets': [], 'pure_val_datasets': [],

@@ -140,6 +140,57 @@ def test_learning_curve_harness(tmp_path):
         {k: v['train_mols'] for k, v in stored.items()}
 
 
+@pytest.mark.slow
+def test_espaloma_proxy_flow_tiny(tmp_path, monkeypatch):
+    """Execute the espaloma-proxy driver end-to-end at tiny scale on CPU —
+    generate (cache + committed-split contract), train through the
+    production path (tag resolution via GRAPPA_TPU_CACHE, splitpath,
+    scan_epochs, summary/table generation), and the resume branch — so a
+    real chip run can't die on driver bugs hours in."""
+    from espaloma_proxy import run as proxy
+    from grappa_tpu.train.config import default_config, overwrite_config
+
+    monkeypatch.setattr(proxy, 'HERE', tmp_path)
+    monkeypatch.setattr(proxy, 'CACHE', tmp_path / 'cache')
+    monkeypatch.setattr(proxy, 'SPLIT_JSON', tmp_path / 'split.json')
+    monkeypatch.setattr(proxy, 'SPECS', {
+        'proxy-spice-monomers': (4, 2, 31, [1, 1, 6, 8], (6, 9), 'am1BCC'),
+        'proxy-peptide': (4, 2, 33, [1, 1, 6, 7, 8], (6, 9), 'amber99'),
+    })
+    monkeypatch.delenv('GRAPPA_TPU_CACHE', raising=False)
+
+    split = proxy.generate(workers=2)
+    assert (tmp_path / 'split.json').exists()
+    assert len(split['test']) == 1 and len(split['val']) == 1
+    # re-running must reproduce the committed split byte-for-byte
+    proxy.generate(workers=2)
+
+    config = default_config()
+    overwrite_config({
+        'model_config': get_small_model_config(),
+        'data_config': {'train_batch_size': 2, 'val_batch_size': 4,
+                        'test_batch_size': 4},
+        'lit_model_config': {'lr': 2e-4, 'start_qm_epochs': 0,
+                             'warmup_steps': 2},
+        'trainer_config': {'checkpoint_every': 1},
+        'test_model': False,
+    }, config)
+    summary = proxy.train(epochs=2, out_dir=str(tmp_path / 'runs'),
+                          base_config=config)
+    assert summary['test'], summary
+    assert all('rmse_energies' in m for m in summary['test'].values())
+    assert (tmp_path / 'proxy_results.json').exists()
+    assert (tmp_path / 'table.md').exists()
+    assert json.loads((tmp_path / 'gate.json').read_text())['per_dataset']
+
+    # interrupted-run branch: last.ckpt exists -> resume to the new target
+    summary2 = proxy.train(epochs=3, out_dir=str(tmp_path / 'runs'),
+                           base_config=config)
+    assert summary2['test'], summary2
+    stored = json.loads((tmp_path / 'proxy_results.json').read_text())
+    assert stored['test'] == summary2['test']
+
+
 def test_espaloma_proxy_table_stage(tmp_path):
     """The table stage renders proxy_results.json into the espaloma-style
     markdown/LaTeX tables (reference experiments/evaluation/
