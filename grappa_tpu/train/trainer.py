@@ -364,12 +364,17 @@ class Trainer:
                     "scan_epochs needs uniform batch shapes — use a "
                     "loader with fixed_pad=True (the training default)")
             batches = stack_batches([b for b, _ in pairs])
-            weights = jax.tree.map(
-                lambda *xs: jnp.stack(xs, axis=0),
-                *[self._loss_weights(n, b.num_mols) for b, n in pairs])
-            self._scan_cache = (batches, weights, len(pairs))
+            self._scan_cache = (batches,
+                                [(n, b.num_mols) for b, n in pairs])
 
-        batches, weights, n_steps = self._scan_cache
+        batches, names_mols = self._scan_cache
+        n_steps = len(names_mols)
+        # loss weights are epoch-dependent (start_qm_epochs curriculum,
+        # param_loss_epochs switch-off) — restack them every epoch; they
+        # are tiny, and the jitted epoch fn sees identical shapes/dtypes
+        weights = jax.tree.map(
+            lambda *xs: jnp.stack(xs, axis=0),
+            *[self._loss_weights(n, m) for n, m in names_mols])
         # per-step LR (advances the warmup counter exactly like the loop)
         lrs = jnp.asarray([self._step_lr() for _ in range(n_steps)],
                           jnp.float32)
@@ -398,23 +403,29 @@ class Trainer:
             n_real = len(pairs)
             n_groups = -(-n_real // n_dev)
             n_slots = n_groups * n_dev
-            base_w = [self._loss_weights(n, b.num_mols) for b, n in pairs]
             slots_b = [b for b, _ in pairs]
-            slots_w = list(base_w)
             for i in range(n_slots - n_real):   # padding replicas (zeroed
                 slots_b.append(pairs[i % n_real][0])   # via slot_scale)
-                slots_w.append(base_w[i % n_real])
             scale = np.ones(n_slots, np.float32)
             k = n_real - (n_groups - 1) * n_dev
             if k < n_dev:
                 scale[(n_groups - 1) * n_dev:n_real] = n_dev / k
                 scale[n_real:] = 0.0
             self._dp_scan_cache = (
-                stack_batches(slots_b), stack_loss_weights(slots_w),
-                jnp.asarray(scale), n_real, n_groups, n_slots)
+                stack_batches(slots_b), jnp.asarray(scale),
+                [(n, b.num_mols) for b, n in pairs],
+                n_real, n_groups, n_slots)
 
-        flat_b, flat_w, scale, n_real, n_groups, n_slots = \
+        flat_b, scale, names_mols, n_real, n_groups, n_slots = \
             self._dp_scan_cache
+        # restack the epoch-dependent loss weights (curriculum) each epoch,
+        # mirroring the loop path; padding slots replicate real weights and
+        # are zeroed positionally via slot_scale
+        base_w = [self._loss_weights(n, m) for n, m in names_mols]
+        slots_w = list(base_w)
+        for i in range(n_slots - n_real):
+            slots_w.append(base_w[i % n_real])
+        flat_w = stack_loss_weights(slots_w)
         host_rng = np.random.default_rng(
             int(jax.random.randint(self._rng, (), 0, 2 ** 31 - 1)))
         perm = jnp.asarray(np.concatenate([

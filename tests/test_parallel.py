@@ -223,6 +223,42 @@ def test_dp_trainer_epoch():
     assert l_last < l0
 
 
+def test_dp_scan_trainer_curriculum_weights():
+    """Regression (same as the single-device scan path): the DP-scan epoch
+    must restack the epoch-dependent loss weights every epoch instead of
+    freezing the epoch-0 curriculum (energy/gradient = 0) into the cache."""
+    from grappa_tpu.data.dataset import Dataset
+    from grappa_tpu.data.loader import GraphLoader
+    from grappa_tpu.data.synthetic import make_dataset
+    from grappa_tpu.train.trainer import Trainer
+
+    ds = Dataset.from_moldata(
+        make_dataset(n_mols=20, n_confs=4, seed=7), 'syn')
+    loader = GraphLoader(ds, batch_size=2, conf_strategy=4, shuffle=True,
+                         drop_last=True, seed=0, fixed_pad=True)
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+    trainer = Trainer(model, params, loader, None,
+                      {'lr': 3e-4, 'start_qm_epochs': 1, 'warmup_steps': 1,
+                       'energy_weight': 1.0},
+                      {'max_epochs': 2}, out_dir=None, mesh=make_mesh(N_DEV),
+                      cache_batches=True, scan_epochs=True)
+
+    captured = []
+    orig = trainer.dp_scan_step
+
+    def spy(p, o, b, w, scale, perm, lrs, rngs):
+        captured.append(jax.tree.map(np.asarray, w))
+        return orig(p, o, b, w, scale, perm, lrs, rngs)
+
+    trainer.dp_scan_step = spy
+    trainer.fit()
+    assert len(captured) == 2
+    assert captured[0].energy.max() == 0.0   # pre-QM epoch
+    assert captured[1].energy.min() == 1.0   # QM phase on
+
+
 def test_atom_sharded_forward_matches_single_device():
     """Macromolecule path: node/tuple axes sharded over the mesh (GSPMD
     halo exchange) gives the same energies/forces as one device."""

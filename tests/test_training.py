@@ -460,3 +460,45 @@ def test_trainer_scan_epochs_smoke(tmp_path):
     assert np.isfinite(out['best_early_stopping_loss'])
     assert trainer.global_step == 2 * len(list(loader))
     assert (tmp_path / 'run' / 'last.ckpt' / 'params.msgpack').exists()
+
+
+def test_trainer_scan_epochs_curriculum_weights(tmp_path):
+    """Regression: the scan path must restack loss weights every epoch —
+    they are epoch-dependent (start_qm_epochs curriculum, param_loss_epochs
+    switch-off). A once-built cache trains the whole run with the epoch-0
+    weights (energy/gradient = 0), silently fitting classical params only."""
+    mds = make_dataset(n_mols=6, n_confs=4, seed=17, learnable=True,
+                       conf_noise=0.08)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=3, conf_strategy=4, shuffle=True,
+                         seed=0, drop_last=True)
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+    lit_cfg = {'lr': 2e-4, 'start_qm_epochs': 1, 'warmup_steps': 1,
+               'param_loss_epochs': 2, 'energy_weight': 1.0,
+               'gradient_weight': 0.8}
+    trainer = Trainer(model, params, loader, None, lit_cfg,
+                      {'max_epochs': 3}, out_dir=str(tmp_path / 'run'),
+                      cache_batches=True, scan_epochs=True)
+
+    captured = []
+    orig = trainer.scan_step
+
+    def spy(p, o, b, w, perm, lrs, rngs):
+        captured.append(jax.tree.map(np.asarray, w))
+        return orig(p, o, b, w, perm, lrs, rngs)
+
+    trainer.scan_step = spy
+    trainer.fit()
+    assert len(captured) == 3
+    # epoch 0: pre-QM phase — energy/gradient off, param loss on
+    assert captured[0].energy.max() == 0.0
+    assert captured[0].gradient.max() == 0.0
+    assert captured[0].param.min() > 0.0
+    # epoch 1: QM phase on
+    assert captured[1].energy.min() == 1.0
+    assert captured[1].gradient.min() > 0.0
+    # epoch 2: param loss switched off (param_loss_epochs=2)
+    assert captured[2].param.max() == 0.0
+    assert captured[2].energy.min() == 1.0
