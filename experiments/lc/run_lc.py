@@ -65,6 +65,8 @@ def run_lc(factors, epochs, out_dir, datasets=None, splitpath=None,
         })
         if splitpath:
             config['data_config']['splitpath'] = splitpath
+        # one dispatch per epoch — the tunneled chip is dispatch-bound
+        config['trainer_config']['scan_epochs'] = True
     config['trainer_config']['max_epochs'] = epochs
 
     results_path = Path(results_path or HERE / 'lc_results.json')

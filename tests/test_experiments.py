@@ -114,7 +114,10 @@ def test_learning_curve_harness(tmp_path):
         },
         'lit_model_config': {'lr': 2e-4, 'start_qm_epochs': 0,
                              'warmup_steps': 2},
-        'trainer_config': {'max_epochs': 1, 'checkpoint_every': 1},
+        # scan_epochs: the on-chip sweep's mode — covers the subsampled-
+        # loader + whole-epoch-dispatch combination
+        'trainer_config': {'max_epochs': 1, 'checkpoint_every': 1,
+                           'scan_epochs': True},
         'test_model': False,
     }, config)
 
