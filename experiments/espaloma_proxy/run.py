@@ -144,10 +144,15 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None):
         # target (update the stored config if --epochs changed it)
         from grappa_tpu.train.config import write_yaml
         stored = read_yaml(run_dir / 'grappa_config.yaml')
-        if int(stored['trainer_config'].get('max_epochs', 0)) != epochs:
-            stored['trainer_config']['max_epochs'] = epochs
+        tc = stored['trainer_config']
+        # sync the dispatch knobs too: a run checkpointed before a driver
+        # change must resume with the driver's current execution mode
+        wanted = {'max_epochs': epochs, 'scan_epochs': True}
+        changed = {k: v for k, v in wanted.items() if tc.get(k) != v}
+        if changed:
+            tc.update(changed)
             write_yaml(stored, run_dir / 'grappa_config.yaml')
-            print(f'updated stored max_epochs -> {epochs}')
+            print(f'updated stored trainer_config: {changed}')
         print(f'resuming interrupted run from {run_dir}/last.ckpt')
         out = resume_trainrun(str(run_dir), cache_batches=True)
     else:

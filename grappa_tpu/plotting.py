@@ -133,7 +133,14 @@ def compare_parameters_detailed(
     for ax, (key, label) in zip(axes.flat, _DETAILED_TITLES):
         x, y = px[key], py[key]
         if x.shape != y.shape:
-            raise ValueError(f'{key}: shape {x.shape} vs {y.shape}')
+            # same rationale as compare_parameters: mismatched tuple sets
+            # would scatter wrongly paired values — annotate, don't abort
+            # the whole evaluation plot stage
+            ax.text(0.5, 0.5, f'tuple sets differ\n({x.shape} vs {y.shape})',
+                    ha='center', va='center', transform=ax.transAxes,
+                    fontsize=9, color='0.4')
+            ax.set_title(label)
+            continue
         good = np.isfinite(x) & np.isfinite(y)
         x, y = x[good], y[good]
         if len(x):

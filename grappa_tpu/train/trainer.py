@@ -151,8 +151,10 @@ class Trainer:
         scan_epochs: run each epoch as ONE jit dispatch (lax.scan over the
         device-resident batch cache) — amortizes the per-dispatch host
         round-trip that dominates on tunneled chips. Requires
-        cache_batches and uniform batch shapes (fixed_pad); incompatible
-        with mesh. None reads trainer_config['scan_epochs'] (default off)."""
+        cache_batches and uniform batch shapes (fixed_pad). Combined with
+        mesh it scans whole data-parallel groups per dispatch
+        (parallel.dp.make_dp_scan_epoch_step). None reads
+        trainer_config['scan_epochs'] (default off)."""
         self.model = model
         self.params = params
         self.train_loader = train_loader
@@ -400,6 +402,12 @@ class Trainer:
         n_dev = self._n_dev
         if self._dp_scan_cache is None:
             pairs = [(jax.device_put(b), n) for b, n in self.train_loader]
+            shapes = {tuple(x.shape for x in jax.tree.leaves(b))
+                      for b, _ in pairs}
+            if len(shapes) != 1:
+                raise ValueError(
+                    "scan_epochs needs uniform batch shapes — use a "
+                    "loader with fixed_pad=True (the training default)")
             n_real = len(pairs)
             n_groups = -(-n_real // n_dev)
             n_slots = n_groups * n_dev

@@ -84,6 +84,13 @@ def test_plotting_detailed(tmp_path):
     assert len(filtered['bond_eq']) == keep.sum()
     np.testing.assert_allclose(filtered['bond_eq'], p1.bond_eq[keep])
 
+    # mismatched tuple sets (e.g. classical impropers store only assigned
+    # versions): the panel is annotated instead of aborting the plot stage
+    mol3 = random_molecule(seed=3)
+    p3 = random_parameters(mol3, 3)
+    compare_parameters_detailed(p1, p3, filename=str(tmp_path / 'mm.png'))
+    assert (tmp_path / 'mm.png').stat().st_size > 1000
+
 
 def test_conf_strategies():
     from grappa_tpu.data.dataset import Dataset

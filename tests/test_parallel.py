@@ -258,6 +258,17 @@ def test_dp_scan_trainer_curriculum_weights():
     assert captured[0].energy.max() == 0.0   # pre-QM epoch
     assert captured[1].energy.min() == 1.0   # QM phase on
 
+    # non-uniform batch shapes must fail with the actionable message,
+    # like the single-device scan path
+    ragged = GraphLoader(ds, batch_size=2, conf_strategy=4, shuffle=True,
+                         drop_last=True, seed=0, fixed_pad=False)
+    t2 = Trainer(model, jax.tree.map(np.copy, trainer.params), ragged, None,
+                 {'lr': 3e-4, 'start_qm_epochs': 0, 'warmup_steps': 1},
+                 {'max_epochs': 1}, out_dir=None, mesh=make_mesh(N_DEV),
+                 cache_batches=True, scan_epochs=True)
+    with pytest.raises(ValueError, match='fixed_pad'):
+        t2.train_epoch()
+
 
 def test_atom_sharded_forward_matches_single_device():
     """Macromolecule path: node/tuple axes sharded over the mesh (GSPMD
