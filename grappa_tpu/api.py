@@ -55,23 +55,50 @@ class Grappa:
 
     def predict(self, molecule: Molecule,
                 check_eq_values: bool = True) -> Parameters:
-        if not topology.check_connected(molecule.bonds_by_index(),
-                                        len(molecule.atoms)):
-            raise ValueError(
-                "the molecule graph is disconnected; split it into connected "
-                "components (water/ions are not parametrized by grappa)")
-        graph = MolGraph.from_molecule(molecule)
-        pad = bucketed_pad_spec([graph], n_confs=1)
-        batch = collate([graph], pad=pad, n_confs=1)
-        pred = self._apply(self.params, batch)
-        pred_np = {}
-        counts = {
-            'n2_k': len(molecule.bonds), 'n2_eq': len(molecule.bonds),
-            'n3_k': len(molecule.angles), 'n3_eq': len(molecule.angles),
-            'n4_k': len(molecule.propers),
-            'n4_improper_k': len(molecule.impropers),
-        }
-        for key, v in pred.items():
-            pred_np[key] = np.asarray(v)[:counts[key]]
-        return Parameters.from_prediction(molecule, pred_np,
-                                          check_eq_values=check_eq_values)
+        return self.predict_many([molecule],
+                                 check_eq_values=check_eq_values)[0]
+
+    def predict_many(self, molecules, check_eq_values: bool = True,
+                     batch_size: int = 32) -> list:
+        """Parametrize a collection of molecules in batched forwards.
+
+        TPU-first extension over the reference API (which runs one
+        forward per molecule, grappa.py:36-58): up to `batch_size`
+        molecules share one padded jit dispatch, and bucketed pad specs
+        let differently-composed batches reuse compiled programs. Returns
+        a list of `Parameters` aligned with the input order."""
+        molecules = list(molecules)
+        results = []
+        for start in range(0, len(molecules), batch_size):
+            chunk = molecules[start:start + batch_size]
+            graphs = []
+            for mol in chunk:
+                if not topology.check_connected(mol.bonds_by_index(),
+                                                len(mol.atoms)):
+                    raise ValueError(
+                        f"molecule #{start + len(graphs)}: the graph is "
+                        "disconnected; split it into connected components "
+                        "(water/ions are not parametrized by grappa)")
+                graphs.append(MolGraph.from_molecule(mol))
+            pad = bucketed_pad_spec(graphs, n_confs=1)
+            batch = collate(graphs, pad=pad, n_confs=1)
+            pred = {k: np.asarray(v)
+                    for k, v in self._apply(self.params, batch).items()}
+            # tuples are laid out contiguously per molecule (collate fills
+            # in input order, padding at the tail) — slice by running
+            # per-term offsets
+            offsets = {'n2': 0, 'n3': 0, 'n4': 0, 'n4_improper': 0}
+            for mol in chunk:
+                counts = {'n2': len(mol.bonds), 'n3': len(mol.angles),
+                          'n4': len(mol.propers),
+                          'n4_improper': len(mol.impropers)}
+                sliced = {}
+                for key, v in pred.items():
+                    t = ('n4_improper' if key.startswith('n4_improper')
+                         else key.rsplit('_', 1)[0])
+                    sliced[key] = v[offsets[t]:offsets[t] + counts[t]]
+                for t in offsets:
+                    offsets[t] += counts[t]
+                results.append(Parameters.from_prediction(
+                    mol, sliced, check_eq_values=check_eq_values))
+        return results

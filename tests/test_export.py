@@ -114,6 +114,29 @@ def test_grappa_api_predict(trained_like, tmp_path):
         ff.predict(bad)
 
 
+def test_grappa_api_predict_many(trained_like):
+    """Batched parametrization: predict_many (one padded forward per
+    chunk, TPU-first extension) must reproduce per-molecule predict
+    exactly for mixed sizes, including across chunk boundaries."""
+    model, params, cfg, _ = trained_like
+    ff = Grappa(model, params, {'model_config': cfg})
+    mols = [random_molecule(seed=s) for s in (11, 12, 13, 14, 15)]
+    many = ff.predict_many(mols, batch_size=2)   # 3 chunks, sizes 2/2/1
+    assert len(many) == len(mols)
+    for mol, got in zip(mols, many):
+        ref = ff.predict(mol)
+        np.testing.assert_allclose(got.bond_k, ref.bond_k, rtol=1e-5)
+        np.testing.assert_allclose(got.bond_eq, ref.bond_eq, rtol=1e-5)
+        np.testing.assert_allclose(got.angle_k, ref.angle_k, rtol=1e-5)
+        np.testing.assert_allclose(got.proper_ks, ref.proper_ks,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(got.improper_ks, ref.improper_ks,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(got.proper_phases, ref.proper_phases)
+        np.testing.assert_array_equal(np.asarray(got.bonds),
+                                      np.asarray(ref.bonds))
+
+
 def test_zoo_tag_resolution_from_cache(trained_like, tmp_path, monkeypatch):
     """Model-zoo machinery end to end without network: a model_dict dropped
     into the cache under the release filename resolves by TAG and loads
