@@ -272,11 +272,13 @@ class GromacsGrappa(Grappa):
             components = _connected_components(bonds, build_nrs)
         all_rows: Dict[str, List[str]] = {'bonds': [], 'angles': [],
                                           'propers': [], 'impropers': []}
-        for comp in components:
-            molecule = molecule_from_moleculetype(
-                mol_type, charge_model=charge_model, atom_filter=comp,
-                type_info=type_info)
-            params = self.predict(molecule, check_eq_values=check_eq_values)
+        comp_mols = [molecule_from_moleculetype(
+            mol_type, charge_model=charge_model, atom_filter=comp,
+            type_info=type_info) for comp in components]
+        # one padded forward for all components (predict_many)
+        all_params = self.predict_many(comp_mols,
+                                       check_eq_values=check_eq_values)
+        for comp, params in zip(components, all_params):
             comp_apply = (apply_nrs if comp is None
                           else apply_nrs & comp)
             if hasattr(self, 'last_predictions'):
