@@ -31,7 +31,6 @@ src/grappa/models/network_utils.py:57-133 DottedAttWithMLP).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -143,7 +142,7 @@ def _dropout_mask(shape, rate):
     return keep.astype(jnp.float32) / np.float32(1.0 - rate)
 
 
-def _attention(q, k, v, reduce_r, s, n_heads, dh):
+def _attention(q, k, v, reduce_r, s, dh):
     """Unrolled S-way attention on (S*Tt, F) planes.
 
     Returns (attn rows (S*Tt, F), softmax weight planes, q/k/v planes) so
@@ -189,7 +188,7 @@ def _forward_body(x0, params, reduce_r, *, s, n_heads, rate, deterministic,
     xn, xhat1, inv1 = _ln_fwd(x0, g1, b1)
     qkv = _dot(xn, wq, mm_dtype) + bq
     q, k, v = qkv[:, :f], qkv[:, f:2 * f], qkv[:, 2 * f:]
-    attn0, weights, qs, ks, vs = _attention(q, k, v, reduce_r, s, n_heads, dh)
+    attn0, weights, qs, ks, vs = _attention(q, k, v, reduce_r, s, dh)
     attn1 = _dot(attn0, wo, mm_dtype) + bo
     if not deterministic:
         mask1 = _dropout_mask(attn1.shape, rate)
@@ -327,12 +326,20 @@ def _reduce_matrix(f, n_heads):
     return jnp.asarray(r)
 
 
+def _pad_to(x, axis, mult):
+    """Zero-pad `axis` up to the next multiple of `mult` (shared by all
+    fused kernels; torsion_kernel/fused_gnn re-use this one helper)."""
+    size = x.shape[axis]
+    target = -(-size // mult) * mult
+    if target == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - size)
+    return jnp.pad(x, pads)
+
+
 def _pad_t(x, block_t):
-    t = x.shape[1]
-    t_pad = -(-t // block_t) * block_t
-    if t_pad == t:
-        return x, t
-    return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0))), t
+    return _pad_to(x, 1, block_t), x.shape[1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -351,6 +358,11 @@ def fused_transformer_block(x, params, seed, n_heads=8, dropout_rate=0.0,
 def _fused_fwd(x, params, seed, n_heads, dropout_rate, deterministic,
                mm_dtype, block_t):
     s, t_in, f = x.shape
+    if f % n_heads:
+        raise ValueError(
+            f"feature width {f} must be divisible by n_heads={n_heads} "
+            f"(the head-reduction matrix would silently drop the "
+            f"remainder lanes)")
     x_p, t = _pad_t(x, block_t)
     t_pad = x_p.shape[1]
     flat = flatten_params(params)

@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grappa_tpu.ops.fused_block import (_dot, _dot_nt, _dot_tn,
                                         _dropout_mask, _elu, _elu_grad,
-                                        _ln_bwd, _ln_fwd, _reduce_matrix,
+                                        _ln_bwd, _ln_fwd, _pad_to,
+                                        _reduce_matrix,
                                         flatten_params as _flatten,
                                         unflatten_grads as _unflatten)
 
@@ -75,15 +76,16 @@ def unflatten_grads(flat):
 
 
 
-def _attention(feat, nbrs, masks, reduce_r, dh, mm_dtype):
+def _attention(feat, nbrs, masks, reduce_r, dh):
     """Masked softmax attention over the unrolled neighbor-slot planes.
 
     feat: (bn, F); nbrs/masks: lists of D (bn, F) / (bn, 1) planes.
+    The R-matrix score reductions stay f32 like the head kernel (mm_dtype
+    applies only to the dense matmuls outside this function).
     Returns (attn0 (bn, F), alpha planes) for reuse in the backward.
     """
     scale = np.float32(1.0 / np.sqrt(dh))
     d = len(nbrs)
-    del mm_dtype  # the R-matrix reductions stay f32 like the head kernel
     scores = [jnp.where(masks[i] > 0,
                         _dot(feat * nbrs[i], reduce_r, None) * scale,
                         _NEG)
@@ -113,8 +115,7 @@ def _forward_body(feat, nbr, hn, mask, params, reduce_r, *, n_heads, rate,
     d = nbr.shape[0]
     nbrs = [nbr[i] for i in range(d)]
     masks = [mask[i][:, None] for i in range(d)]
-    attn0, alphas = _attention(feat, nbrs, masks, reduce_r, f // n_heads,
-                               mm_dtype)
+    attn0, alphas = _attention(feat, nbrs, masks, reduce_r, f // n_heads)
     a1 = _dot(attn0, wr, mm_dtype) + br
     if not deterministic:
         mask1 = _dropout_mask(a1.shape, rate)
@@ -221,13 +222,7 @@ def _bwd_kernel(seed_ref, feat_ref, nbr_ref, hn_ref, mask_ref, dy_ref,
 
 
 def _pad_n(x, block_n, axis):
-    n = x.shape[axis]
-    n_pad = -(-n // block_n) * block_n
-    if n_pad == n:
-        return x
-    pads = [(0, 0)] * x.ndim
-    pads[axis] = (0, n_pad - n)
-    return jnp.pad(x, pads)
+    return _pad_to(x, axis, block_n)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
@@ -251,6 +246,11 @@ def fused_gnn_block(feat, nbr, hn, mask, params, seed=0, n_heads=16,
 def _fused_fwd(feat, nbr, hn, mask, params, seed, n_heads, dropout_rate,
                deterministic, mm_dtype, block_n):
     n, f = feat.shape
+    if f % n_heads:
+        raise ValueError(
+            f"node feature width {f} must be divisible by "
+            f"n_heads={n_heads} (the head-reduction matrix would silently "
+            f"drop the remainder lanes)")
     d = nbr.shape[0]
     feat_p = _pad_n(feat, block_n, 0)
     nbr_p = _pad_n(nbr, block_n, 1)

@@ -22,12 +22,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from grappa_tpu.ops.fused_block import (
-    LN_EPS, _dot, _dot_nt, _dot_tn, _elu, _elu_grad, _ln_bwd, _ln_fwd,
+    _dot, _dot_nt, _dot_tn, _elu, _elu_grad, _ln_bwd, _ln_fwd,
     _pad_t, flatten_params as _flatten, unflatten_grads as _unflatten)
 
 # tests flip this to run the kernels in the Pallas interpreter (CPU)

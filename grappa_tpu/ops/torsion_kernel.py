@@ -33,13 +33,8 @@ _EPS = 1e-12
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
-    size = x.shape[axis]
-    target = ((size + mult - 1) // mult) * mult
-    if target == size:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, target - size)
-    return jnp.pad(x, pad)
+    from grappa_tpu.ops.fused_block import _pad_to as _shared
+    return _shared(x, axis, mult)
 
 
 def _torsion_tile_kernel(pos_ref, k_ref, energy_ref, *, n_per: int):
@@ -93,6 +88,11 @@ def _forward_pallas(pos: jnp.ndarray, k: jnp.ndarray,
     Internally the positions are laid out (12, T, C) so Mosaic tiles only the
     trailing (T, C) dims (a (T, 4, 3, C) block would pad the inner dims to
     full sublane/lane tiles and blow the VMEM budget).
+
+    The conformer axis is NOT blocked — each grid step loads the full padded
+    C into VMEM (12*tile_t*C*4 bytes, ~16 MB at C~1300 under the raised
+    100 MB limit below). Fine for training/benchmark conf counts (<=512);
+    block C before using this kernel on thousands of conformers.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -118,6 +118,8 @@ def _forward_pallas(pos: jnp.ndarray, k: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((tile_t, c_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(pos.astype(jnp.float32), k.astype(jnp.float32))
     return energy[:t_orig, :c_orig]
 
