@@ -14,6 +14,12 @@ force/energy consistency of the whole predicted force field
 Units follow the grappa convention (kcal/mol, Angstrom, amu); time is
 handled in femtoseconds and converted to the internal unit
 sqrt(amu*A^2/(kcal/mol)) ~= 48.89 fs.
+
+Macromolecules past the single-chip HBM limit: pass a batch sharded with
+parallel.sp.shard_batch_by_atoms — GSPMD partitions the force computation
+inside the integrator scan with no MD-specific sharding code (equality
+with the single-device trajectory is tested on the 8-device CPU mesh,
+tests/test_parallel.py::test_atom_sharded_md_matches_single_device).
 """
 from __future__ import annotations
 

@@ -300,6 +300,46 @@ def test_atom_sharded_forward_matches_single_device():
         shard_batch_by_atoms(collate([g], pad=odd_pad), mesh)
 
 
+def test_atom_sharded_md_matches_single_device():
+    """On-device MD (grappa_tpu.md) on an atom-sharded macromolecule batch:
+    GSPMD partitions the force computation inside the integrator scan, and
+    the trajectory matches the single-device run — multi-chip dynamics for
+    molecules past the single-chip HBM limit, with no MD-specific sharding
+    code."""
+    from grappa_tpu import md
+    from grappa_tpu.parallel.sp import (atom_sharded_pad_spec,
+                                        shard_batch_by_atoms)
+
+    mesh = make_mesh(N_DEV)
+    mdata = make_moldata(seed=6, n_confs=2, n_atoms=400, learnable=True,
+                         conf_noise=0.05)
+    g = MolGraph.from_moldata(mdata)
+    pad = atom_sharded_pad_spec([g], 2, mesh)
+    batch = collate([g], pad=pad)
+    params = {
+        'n2_k': jnp.nan_to_num(batch.terms['n2'].k_ref),
+        'n2_eq': jnp.nan_to_num(batch.terms['n2'].eq_ref),
+        'n3_k': jnp.nan_to_num(batch.terms['n3'].k_ref),
+        'n3_eq': jnp.nan_to_num(batch.terms['n3'].eq_ref),
+        'n4_k': jnp.nan_to_num(batch.terms['n4'].k_ref),
+        'n4_improper_k': jnp.nan_to_num(batch.terms['n4_improper'].k_ref),
+    }
+    masses = md.masses_from_molecules([mdata.molecule], batch.xyz.shape[0])
+    v0 = md.maxwell_boltzmann_velocities(batch, masses, 300.0,
+                                         jax.random.key(4))
+    ref = md.simulate(batch, params, masses, dt_fs=0.5, n_steps=10, v0=v0)
+
+    sharded = shard_batch_by_atoms(batch, mesh)
+    out = md.simulate(sharded, params, masses, dt_fs=0.5, n_steps=10,
+                      v0=v0)
+    np.testing.assert_allclose(np.asarray(out['potential']),
+                               np.asarray(ref['potential']),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out['xyz']),
+                               np.asarray(ref['xyz']),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_atom_sharded_train_step_matches_single_device():
     """Full TRAINING step (grad-of-grad through the forces) on a 5k-atom
     molecule sharded over the 8-device mesh == the single-device step:
