@@ -35,6 +35,33 @@ N_MOLS = 128
 N_CONFS = 32
 SEED = 123
 
+# Built batches are cached on disk: synthesizing ~650 molecules through the
+# torch oracle costs ~30 min on a 1-CPU host, which would dominate (or blow
+# the timeout of) every bench invocation. The cache key is the workload
+# geometry; bump _CACHE_VERSION if collate()/MolGraph layout changes.
+_CACHE_DIR = Path(__file__).parent / 'benchmarks' / '.batch_cache'
+_CACHE_VERSION = 1
+
+
+def _cached_batch(name: str, builder):
+    import pickle
+    path = _CACHE_DIR / f'{name}_v{_CACHE_VERSION}.pkl'
+    if path.exists():
+        try:
+            with open(path, 'rb') as f:
+                return pickle.load(f)
+        except Exception:
+            path.unlink(missing_ok=True)
+    batch = builder()
+    import jax
+    host = jax.tree.map(np.asarray, batch)
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix('.tmp')
+    with open(tmp, 'wb') as f:
+        pickle.dump(host, f)
+    tmp.rename(path)
+    return host
+
 PROTEIN_N_MOLS = 2
 PROTEIN_N_ATOMS = 1500
 PROTEIN_N_CONFS = 8
@@ -46,49 +73,57 @@ PEAK_FLOPS_PER_SEC = 394e12
 
 
 def build_batch():
-    from grappa_tpu.data import MolGraph, collate
-    from grappa_tpu.data.loader import bucketed_pad_spec
-    from grappa_tpu.data.synthetic import make_moldata
+    def _build():
+        from grappa_tpu.data import MolGraph, collate
+        from grappa_tpu.data.loader import bucketed_pad_spec
+        from grappa_tpu.data.synthetic import make_moldata
 
-    rng = np.random.default_rng(SEED)
-    graphs = []
-    for i in range(N_MOLS):
-        n_atoms = int(rng.integers(8, 44))
-        graphs.append(MolGraph.from_moldata(
-            make_moldata(seed=SEED + i, n_confs=N_CONFS, n_atoms=n_atoms)))
-    pad = bucketed_pad_spec(graphs, N_CONFS)
-    return collate(graphs, pad=pad, n_confs=N_CONFS), graphs
+        rng = np.random.default_rng(SEED)
+        graphs = []
+        for i in range(N_MOLS):
+            n_atoms = int(rng.integers(8, 44))
+            graphs.append(MolGraph.from_moldata(
+                make_moldata(seed=SEED + i, n_confs=N_CONFS, n_atoms=n_atoms)))
+        pad = bucketed_pad_spec(graphs, N_CONFS)
+        return collate(graphs, pad=pad, n_confs=N_CONFS)
+    return _cached_batch(f'small_{N_MOLS}x{N_CONFS}_s{SEED}', _build), None
 
 
 def build_big_batch(n_mols=512, n_confs=32):
     """The peak-MFU workload: 4x the headline molecule count, bf16."""
-    from grappa_tpu.data import MolGraph, collate
-    from grappa_tpu.data.loader import bucketed_pad_spec
-    from grappa_tpu.data.synthetic import make_moldata
+    def _build():
+        from grappa_tpu.data import MolGraph, collate
+        from grappa_tpu.data.loader import bucketed_pad_spec
+        from grappa_tpu.data.synthetic import make_moldata
 
-    rng = np.random.default_rng(SEED)
-    graphs = []
-    for i in range(n_mols):
-        n_atoms = int(rng.integers(8, 44))
-        graphs.append(MolGraph.from_moldata(
-            make_moldata(seed=SEED + i, n_confs=n_confs, n_atoms=n_atoms)))
-    pad = bucketed_pad_spec(graphs, n_confs)
-    return collate(graphs, pad=pad, n_confs=n_confs)
+        rng = np.random.default_rng(SEED)
+        graphs = []
+        for i in range(n_mols):
+            n_atoms = int(rng.integers(8, 44))
+            graphs.append(MolGraph.from_moldata(
+                make_moldata(seed=SEED + i, n_confs=n_confs, n_atoms=n_atoms)))
+        pad = bucketed_pad_spec(graphs, n_confs)
+        return collate(graphs, pad=pad, n_confs=n_confs)
+    return _cached_batch(f'big_{n_mols}x{n_confs}_s{SEED}', _build)
 
 
 def build_protein_batch():
-    from grappa_tpu.data import MolGraph, collate
-    from grappa_tpu.data.loader import bucketed_pad_spec
-    from grappa_tpu.data.synthetic import make_moldata
+    def _build():
+        from grappa_tpu.data import MolGraph, collate
+        from grappa_tpu.data.loader import bucketed_pad_spec
+        from grappa_tpu.data.synthetic import make_moldata
 
-    graphs = [
-        MolGraph.from_moldata(make_moldata(
-            seed=SEED + 1000 + i, n_confs=PROTEIN_N_CONFS,
-            n_atoms=PROTEIN_N_ATOMS))
-        for i in range(PROTEIN_N_MOLS)
-    ]
-    pad = bucketed_pad_spec(graphs, PROTEIN_N_CONFS)
-    return collate(graphs, pad=pad, n_confs=PROTEIN_N_CONFS)
+        graphs = [
+            MolGraph.from_moldata(make_moldata(
+                seed=SEED + 1000 + i, n_confs=PROTEIN_N_CONFS,
+                n_atoms=PROTEIN_N_ATOMS))
+            for i in range(PROTEIN_N_MOLS)
+        ]
+        pad = bucketed_pad_spec(graphs, PROTEIN_N_CONFS)
+        return collate(graphs, pad=pad, n_confs=PROTEIN_N_CONFS)
+    return _cached_batch(
+        f'protein_{PROTEIN_N_MOLS}x{PROTEIN_N_ATOMS}x{PROTEIN_N_CONFS}_s{SEED}',
+        _build)
 
 
 def batch_to_arrays(batch):

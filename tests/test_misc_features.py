@@ -234,3 +234,29 @@ def test_native_rejects_out_of_range_bonds():
         native.neighbor_list([(0, 5)], n_atoms=3, max_neighbors=4)
     with pytest.raises(IndexError):
         native.ring_encoding([(-1, 1)], n_atoms=3)
+
+
+def test_bench_batch_cache_roundtrip(tmp_path, monkeypatch):
+    """bench.py's disk cache must reproduce the batch exactly (same leaves,
+    same static num_mols) and hit on the second call without rebuilding."""
+    import bench
+
+    monkeypatch.setattr(bench, '_CACHE_DIR', tmp_path)
+    calls = {'n': 0}
+
+    def build():
+        calls['n'] += 1
+        md = make_moldata(seed=7, n_confs=3)
+        return collate([MolGraph.from_moldata(md)])
+
+    b1 = bench._cached_batch('t', build)
+    b2 = bench._cached_batch('t', build)
+    assert calls['n'] == 1
+    assert b2.num_mols == b1.num_mols
+    for l1, l2 in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # a corrupt cache file is rebuilt, not fatal
+    (tmp_path / f't_v{bench._CACHE_VERSION}.pkl').write_bytes(b'junk')
+    b3 = bench._cached_batch('t', build)
+    assert calls['n'] == 2
+    assert b3.num_mols == b1.num_mols
