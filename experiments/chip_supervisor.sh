@@ -20,7 +20,7 @@ PROXY=experiments/espaloma_proxy/proxy_results.json
 REH=experiments/train-grappa-1.2.1/rehearsal_results.json
 LCJ=experiments/lc/lc_results.json
 BENCH_LOG=/tmp/bench_r3_postproxy.log
-STALE_S=1500
+STALE_S=2400
 
 log() { echo "sup: $* $(date -u)" >> "$LOG"; }
 
@@ -35,8 +35,13 @@ newest_mtime() {  # newest mtime over file args (globs expanded by caller)
 }
 
 # run_watched <hard_timeout_s> <stage_log> <watch_glob_string> cmd...
+# Staleness counts from the LATER of stage start and the newest watched
+# mtime — otherwise a fresh attempt inherits the previous attempt's old
+# mtimes and gets killed while still compiling (happened 2026-08-18).
 run_watched() {
   local hard=$1 slog=$2 watch=$3; shift 3
+  local start
+  start=$(date +%s)
   timeout "$hard" "$@" >> "$slog" 2>&1 &
   local pid=$!
   while kill -0 "$pid" 2>/dev/null; do
@@ -45,6 +50,7 @@ run_watched() {
     now=$(date +%s)
     # shellcheck disable=SC2086
     last=$(newest_mtime $slog $watch)
+    [ "$start" -gt "$last" ] && last=$start
     if [ $((now - last)) -gt "$STALE_S" ]; then
       log "watchdog: stale $((now - last))s, killing ($*)"
       kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
@@ -83,27 +89,47 @@ except Exception:
 EOF
 }
 
+# proxy gate: first pass trains to 150 epochs; once results exist the
+# extension stage (after rehearsal+bench) continues the SAME run to the
+# absolute 500-epoch target of the published recipes (run.py resumes from
+# last.ckpt idempotently).
+proxy_epochs() {
+  python - <<'EOF'
+import json, pathlib
+p = pathlib.Path('experiments/espaloma_proxy/proxy_results.json')
+try:
+    print(json.loads(p.read_text()).get('epochs_run', 0))
+except Exception:
+    print(0)
+EOF
+}
+
 for attempt in $(seq 1 200); do
   if [ ! -f "$PROXY" ]; then
     log "attempt $attempt: proxy train"
     run_watched 14400 experiments/espaloma_proxy/train.log \
       "experiments/espaloma_proxy/runs/espaloma-proxy/metrics.jsonl experiments/espaloma_proxy/runs/espaloma-proxy/last.ckpt/meta.json" \
-      python experiments/espaloma_proxy/run.py train --epochs 150
+      python -u experiments/espaloma_proxy/run.py train --epochs 150
   elif ! reh_done; then
     log "attempt $attempt: 1.2.1 rehearsal"
     run_watched 7200 /tmp/rehearsal121_chip.log \
       "runs/grappa-1.2.1-rehearsal/metrics.jsonl runs/grappa-1.2.1-rehearsal/last.ckpt/meta.json" \
-      python experiments/train-grappa-1.2.1/rehearsal.py --epochs 5
+      python -u experiments/train-grappa-1.2.1/rehearsal.py --epochs 5
   elif ! grep -q '"metric"' "$BENCH_LOG" 2>/dev/null; then
     log "attempt $attempt: bench"
-    timeout 3600 python bench.py >> "$BENCH_LOG" 2>&1
+    timeout 3600 python -u bench.py >> "$BENCH_LOG" 2>&1
+  elif [ "$(proxy_epochs)" -lt 500 ]; then
+    log "attempt $attempt: proxy extension to 500 epochs (at $(proxy_epochs))"
+    run_watched 14400 experiments/espaloma_proxy/train.log \
+      "experiments/espaloma_proxy/runs/espaloma-proxy/metrics.jsonl experiments/espaloma_proxy/runs/espaloma-proxy/last.ckpt/meta.json" \
+      python -u experiments/espaloma_proxy/run.py train --epochs 500
   elif ! lc_done; then
     log "attempt $attempt: learning-curve sweep"
     run_watched 14400 /tmp/lc_chip.log \
       "experiments/lc/lc_results.json experiments/lc/runs/*/metrics.jsonl" \
-      python experiments/lc/run_lc.py --factors 1.0 0.5 0.25 0.1 0.05 --epochs 50
+      python -u experiments/lc/run_lc.py --factors 1.0 0.5 0.25 0.1 0.05 --epochs 50
   else
-    python experiments/lc/plot.py >> /tmp/lc_chip.log 2>&1
+    python -u experiments/lc/plot.py >> /tmp/lc_chip.log 2>&1
     log "ALL STAGES DONE"
     exit 0
   fi

@@ -86,6 +86,18 @@ def molwise_loss(batch: GraphBatch, pred: Dict[str, jnp.ndarray],
         p = pred[key]
         if p.ndim == 1:
             p, ref = p[:, None], ref[:, None]
+        if key == 'n4_k' and ref.shape[1] != p.shape[1]:
+            # Bring the reference torsion ks to the model's periodicity:
+            # zero-pad or truncate, matching the reference's
+            # correct_torsion_shape (loss.py:170-182). The published 1.2/1.2.1
+            # recipes train n_periodicity_proper=3 models against datasets
+            # whose classical ks are stored with 6 periodicities.
+            if ref.shape[1] < p.shape[1]:
+                ref = jnp.concatenate(
+                    [ref, jnp.zeros((ref.shape[0], p.shape[1] - ref.shape[1]),
+                                    ref.dtype)], axis=1)
+            else:
+                ref = ref[:, :p.shape[1]]
         fac = param_type_weights.get(key, 1.0)
         valid = (~jnp.isnan(ref)) & tb.mask[:, None]
         diff = jnp.where(valid, (p - jnp.nan_to_num(ref)) * fac, 0.0)

@@ -123,8 +123,11 @@ def test_production_micro_rehearsal_1_2_1(tmp_path, monkeypatch):
             + config['data_config']['pure_test_datasets'])
     all_ids = []
     for i, tag in enumerate(tags):
+        # learnable=True stamps 6-wide classical proper ks, like the real
+        # datasets — exercised against the recipe's periodicity-3 model below
         ds = Dataset.from_moldata(
-            make_dataset(n_mols=3, n_confs=4, seed=100 + i), tag)
+            make_dataset(n_mols=3, n_confs=4, seed=100 + i, learnable=True),
+            tag)
         ds.save(cache / 'datasets' / tag)
         all_ids += ds.mol_ids
 
@@ -135,8 +138,15 @@ def test_production_micro_rehearsal_1_2_1(tmp_path, monkeypatch):
     (split_dir / 'split.json').write_text(json.dumps(
         {'train': covered[:4], 'val': covered[4:5], 'test': covered[5:6]}))
 
+    # shrink the model but KEEP the recipe's architecture-defining knobs
+    # (periodicity 3 vs the datasets' 6-wide ks is the published situation)
+    small = get_small_model_config()
+    for key in ('n_periodicity_proper', 'n_periodicity_improper',
+                'torsion_cutoff', 'gated_torsion', 'harmonic_gate'):
+        if key in config['model_config']:
+            small[key] = config['model_config'][key]
     overwrite_config({
-        'model_config': get_small_model_config(),
+        'model_config': small,
         'data_config': {'conf_strategy': 4, 'val_conf_strategy': 4,
                         'train_batch_size': 4, 'val_batch_size': 4,
                         'test_batch_size': 4,

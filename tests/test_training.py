@@ -61,6 +61,41 @@ def test_loss_param_term_nan_masked():
     assert float(loss) < 1e-10
 
 
+def test_loss_torsion_periodicity_correction():
+    """A model with fewer (or more) proper periodicities than the dataset's
+    stored classical ks must still train: the reference truncates / zero-pads
+    the ref ks to the model's shape (reference loss.py:170-182). This is the
+    published 1.2/1.2.1 situation (n_periodicity_proper=3 model, 6-wide
+    dataset ks)."""
+    md = make_moldata(seed=3, n_confs=3)
+    batch = collate([MolGraph.from_moldata(md)])
+    weights = LossWeights(
+        energy=jnp.float32(0.0), gradient=jnp.float32(0.0),
+        param=jnp.ones(1), proper_reg=jnp.float32(0.0),
+        improper_reg=jnp.float32(0.0))
+    full = ref_params(batch)
+    width = full['n4_k'].shape[1]
+    assert width >= 2
+
+    # model narrower than the dataset: ref is truncated -> perfect on the
+    # kept columns means zero loss
+    narrow = dict(full)
+    narrow['n4_k'] = full['n4_k'][:, :width - 1]
+    loss_narrow, _ = molwise_loss(batch, narrow, weights)
+    assert float(loss_narrow) < 1e-10, float(loss_narrow)
+
+    # model wider than the dataset: ref is zero-padded -> a nonzero
+    # prediction in the extra column is penalized
+    wide = dict(full)
+    extra = jnp.full((full['n4_k'].shape[0], 1), 0.5)
+    wide['n4_k'] = jnp.concatenate([full['n4_k'], extra], axis=1)
+    md6 = make_moldata(seed=3, n_confs=3)
+    batch6 = collate([MolGraph.from_moldata(md6)])
+    loss_wide, _ = molwise_loss(batch6, wide, weights)
+    # tiny because of the n4_k type weight (1e-4), but strictly nonzero
+    assert float(loss_wide) > 1e-11, float(loss_wide)
+
+
 def test_loss_batch_equals_mean_of_singles():
     """Molwise loss of a batch == mean of single-molecule losses
     (the reference's equal-weight-per-molecule semantics)."""
