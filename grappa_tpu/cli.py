@@ -302,6 +302,20 @@ def cmd_dataset(argv):
                          'field (e.g. amber99sbildn or amber99sbildn*)')
     pm.add_argument('--skip', nargs='+', default=[])
 
+    ps = sub.add_parser('split-export',
+                        help='save the train/val/test partitions of a '
+                             'dataset collection as separate npz dirs for '
+                             'publication (reference split_datasets_for_'
+                             'publication.py)')
+    ps.add_argument('-d', '--dataset-dirs', nargs='+', required=True)
+    ps.add_argument('--split', required=True,
+                    help='split json ({train,val,test} -> mol ids)')
+    ps.add_argument('-t', '--target', required=True)
+    ps.add_argument('--pure-train', nargs='+', default=[])
+    ps.add_argument('--pure-val', nargs='+', default=[])
+    ps.add_argument('--pure-test', nargs='+', default=[])
+    ps.add_argument('--no-charge-model-stamp', action='store_true')
+
     pp = sub.add_parser('from-pdb-npz',
                         help='spice-style per-molecule npz files -> MolData '
                              'dataset (openmm force-field typing)')
@@ -330,6 +344,13 @@ def cmd_dataset(argv):
             forcefield_name=(args.openmm_ff or 'openmm_ff').rstrip('*'),
             skip=args.skip)
         print(json.dumps({'written': n, 'target': args.target}))
+    elif args.action == 'split-export':
+        counts = dc.split_export(
+            args.dataset_dirs, args.split, args.target,
+            pure_train_dirs=args.pure_train, pure_val_dirs=args.pure_val,
+            pure_test_dirs=args.pure_test,
+            stamp_charge_model=not args.no_charge_model_stamp)
+        print(json.dumps({**counts, 'target': args.target}))
     else:
         stats = dc.peptide_dataset_from_pdb_npz(
             args.source, args.target, forcefield=args.forcefield,

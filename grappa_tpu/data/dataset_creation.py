@@ -184,3 +184,69 @@ def peptide_dataset_from_pdb_npz(source_path, target_path,
             stats['errors'] += 1
             print(f'error on {molfile.name}: {exc}')
     return stats
+
+
+def split_export(dataset_dirs: Sequence, split, target_path,
+                 pure_train_dirs: Sequence = (),
+                 pure_val_dirs: Sequence = (),
+                 pure_test_dirs: Sequence = (),
+                 stamp_charge_model: bool = True) -> dict:
+    """Save the train/val/test partitions of a dataset collection as
+    separate per-molecule npz directories for publication
+    (reference dataset_creation/split_datasets_for_publication.py).
+
+    `dataset_dirs` are saved Dataset directories (manifest or flat npz
+    layout); every molecule is routed by its mol_id through `split`
+    (a {'train','val','test'} -> ids dict or a path to such a json) into
+    target/<split>/<ds_name>/<stem>.npz. A molecule missing from the split
+    raises, like the reference. `pure_*_dirs` go wholesale into their
+    respective partition. Missing charge-model one-hots are stamped the
+    way the reference script does (inferred from the dataset name) unless
+    stamp_charge_model=False. Returns per-partition molecule counts.
+    """
+    from grappa_tpu.data.moldata import MolData
+
+    if not isinstance(split, dict):
+        split = json.loads(Path(split).read_text())
+    membership = {}
+    for part in ('train', 'val', 'test'):
+        for mol_id in split.get(part, ()):
+            membership[mol_id] = part
+    target_path = Path(target_path)
+    counts = {'train': 0, 'val': 0, 'test': 0}
+
+    def _mol_files(ds_dir: Path):
+        if (ds_dir / 'manifest.json').exists():
+            manifest = json.loads((ds_dir / 'manifest.json').read_text())
+            return [ds_dir / item['file'] for item in manifest['entries']]
+        return sorted(ds_dir.glob('*.npz'))
+
+    def _export(ds_dir, part_of):
+        ds_dir = Path(ds_dir)
+        charge_model = infer_charge_model(ds_dir.name)
+        for molfile in _mol_files(ds_dir):
+            md = MolData.load(molfile)
+            part = part_of(md)
+            feats = md.molecule.additional_features
+            if stamp_charge_model and 'charge_model' not in feats:
+                feats['charge_model'] = charge_model_one_hot(
+                    charge_model, len(md.molecule.atoms))
+            out = target_path / part / ds_dir.name / f'{molfile.stem}.npz'
+            out.parent.mkdir(parents=True, exist_ok=True)
+            md.save(out)
+            counts[part] += 1
+
+    def _routed(md):
+        part = membership.get(md.mol_id)
+        if part is None:
+            raise ValueError(
+                f'molecule {md.mol_id} not found in any split partition')
+        return part
+
+    for ds_dir in dataset_dirs:
+        _export(ds_dir, _routed)
+    for dirs, part in ((pure_train_dirs, 'train'), (pure_val_dirs, 'val'),
+                       (pure_test_dirs, 'test')):
+        for ds_dir in dirs:
+            _export(ds_dir, lambda md, p=part: p)
+    return counts
