@@ -304,37 +304,52 @@ def wait_for_backend(budget_s: float = 900.0) -> bool:
     return False
 
 
+def _note(msg: str):
+    """Progress marker on stderr (stdout stays the one-JSON-line contract).
+    Without these the bench is silent for its whole multi-minute run, which
+    makes a wedged chip tunnel indistinguishable from a slow compile."""
+    import sys
+    print(f'# bench: {msg}', file=sys.stderr, flush=True)
+
+
 def main():
     from grappa_tpu.utils import enable_compilation_cache
     wait_for_backend()
     enable_compilation_cache()
 
     batch, _ = build_batch()
+    _note('small batch ready; measuring f32 headline step')
     jax_sec, flops = measure_jax(batch)
     small = _perf(jax_sec, flops)
     small['mol_confs_per_sec'] = round(N_MOLS * N_CONFS / jax_sec, 1)
+    _note(f'f32 headline: {small["steps_per_sec"]} steps/s')
 
     # the same step with bf16 matmul compute (validated for training
     # accuracy, PERF.md): the throughput option
     bf16_sec, bf16_flops = measure_jax(batch, n_steps=50, n_warmup=5,
                                        compute_dtype='bfloat16')
     bf16 = _perf(bf16_sec, bf16_flops)
+    _note(f'bf16 small: {bf16["steps_per_sec"]} steps/s')
 
     # peak-MFU config (512 mol x 32 conf, bf16): the matmul-bound point of
     # benchmarks/mfu_probe.py's sweep
     big_batch = build_big_batch()
+    _note('big batch ready; measuring 512mol_32conf_bf16 peak-MFU config')
     big_sec, big_flops = measure_jax(big_batch, n_steps=30, n_warmup=5,
                                      compute_dtype='bfloat16')
     peak = _perf(big_sec, big_flops)
     peak['config'] = '512mol_32conf_bf16'
     peak['mol_confs_per_sec'] = round(512 * 32 / big_sec, 1)
     del big_batch
+    _note(f'peak-MFU config: mfu={peak["mfu"]}')
 
     protein_batch = build_protein_batch()
+    _note('protein batch ready; measuring macromolecule step')
     prot_sec, prot_flops = measure_jax(protein_batch, n_steps=30, n_warmup=5)
     protein = _perf(prot_sec, prot_flops)
     protein['atoms'] = int(np.asarray(protein_batch.node_mask).sum())
     protein['confs'] = PROTEIN_N_CONFS
+    _note('protein done; measuring whole-epoch scan dispatch')
 
     # whole-epoch dispatch (Trainer scan_epochs): same step, 30 steps per
     # dispatch — isolates the per-dispatch host round-trip overhead
