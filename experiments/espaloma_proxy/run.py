@@ -107,7 +107,8 @@ def generate(workers: int = 8):
     return split
 
 
-def train(epochs: int = 150, out_dir: str = None, base_config: dict = None):
+def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
+          time_limit: float = None):
     """Train through the production path. `base_config` (default: the
     benchmark yaml) exists so the whole flow — config mutation, tag
     resolution through GRAPPA_TPU_CACHE, splitpath, resume, summary/table
@@ -136,6 +137,11 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None):
     # one jit dispatch per epoch (exact-equivalence tested): the dominant
     # cost on the tunneled chip is per-step dispatch latency
     config['trainer_config']['scan_epochs'] = True
+    if time_limit is not None:
+        # wall-clock bound (hours): the run checkpoints, finalizes (test
+        # eval + model export) and RELEASES THE CHIP at the bound even if
+        # the epoch target is not reached — resumable to the target later
+        config['trainer_config']['time_limit'] = float(time_limit)
 
     run_dir = Path(out_dir or str(HERE / 'runs')) / 'espaloma-proxy'
     if (run_dir / 'last.ckpt').exists():
@@ -148,6 +154,8 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None):
         # sync the dispatch knobs too: a run checkpointed before a driver
         # change must resume with the driver's current execution mode
         wanted = {'max_epochs': epochs, 'scan_epochs': True}
+        if time_limit is not None:
+            wanted['time_limit'] = float(time_limit)
         changed = {k: v for k, v in wanted.items() if tc.get(k) != v}
         if changed:
             tc.update(changed)
@@ -241,11 +249,14 @@ def main():
     ap.add_argument('stage', choices=['generate', 'train', 'table', 'all'])
     ap.add_argument('--epochs', type=int, default=150)
     ap.add_argument('--workers', type=int, default=8)
+    ap.add_argument('--time_limit', type=float, default=None,
+                    help='wall-clock bound in hours; the run finalizes and '
+                         'frees the chip at the bound (resumable)')
     args = ap.parse_args()
     if args.stage in ('generate', 'all'):
         generate(workers=args.workers)
     if args.stage in ('train', 'all'):
-        train(epochs=args.epochs)
+        train(epochs=args.epochs, time_limit=args.time_limit)
     if args.stage == 'table':
         table()
 
