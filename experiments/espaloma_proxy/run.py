@@ -140,8 +140,11 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
     if time_limit is not None:
         # wall-clock bound (hours): the run checkpoints, finalizes (test
         # eval + model export) and RELEASES THE CHIP at the bound even if
-        # the epoch target is not reached — resumable to the target later
-        config['trainer_config']['time_limit'] = float(time_limit)
+        # the epoch target is not reached — resumable to the target later.
+        # session_time_limit (NOT time_limit) is where Trainer.fit reads a
+        # per-session bound; time_limit is cumulative across resumes and
+        # would make a resumed bounded run exit immediately.
+        config['lit_model_config']['session_time_limit'] = float(time_limit)
 
     run_dir = Path(out_dir or str(HERE / 'runs')) / 'espaloma-proxy'
     if (run_dir / 'last.ckpt').exists():
@@ -154,13 +157,20 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
         # sync the dispatch knobs too: a run checkpointed before a driver
         # change must resume with the driver's current execution mode
         wanted = {'max_epochs': epochs, 'scan_epochs': True}
-        if time_limit is not None:
-            wanted['time_limit'] = float(time_limit)
         changed = {k: v for k, v in wanted.items() if tc.get(k) != v}
         if changed:
             tc.update(changed)
+        # ALWAYS reconcile the session bound: set it when the flag is given,
+        # clear it when absent — a limit stored by an earlier bounded run
+        # must not silently persist into a later unbounded resume
+        lc = stored['lit_model_config']
+        want_session = float(time_limit) if time_limit is not None else None
+        if lc.get('session_time_limit') != want_session:
+            lc['session_time_limit'] = want_session
+            changed['session_time_limit'] = want_session
+        if changed:
             write_yaml(stored, run_dir / 'grappa_config.yaml')
-            print(f'updated stored trainer_config: {changed}')
+            print(f'updated stored config: {changed}')
         print(f'resuming interrupted run from {run_dir}/last.ckpt')
         out = resume_trainrun(str(run_dir), cache_batches=True)
     else:
@@ -171,7 +181,8 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
     from grappa_tpu.train.export import load_model_dict
     md = load_model_dict(out['model_dict_path'])
     summary = {
-        'epochs_run': len(results.get('history', [])),
+        'epoch': results.get('epochs'),   # absolute epoch reached
+        'epochs_run': len(results.get('history', [])),  # this session only
         'best_es_loss': min(
             (h['early_stopping_loss'] for h in results.get('history', [])
              if h.get('early_stopping_loss') is not None), default=None),

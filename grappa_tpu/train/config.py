@@ -55,6 +55,12 @@ def default_config() -> Dict:
         "patience": 50,
         "lr_decay": 0.8,
         "time_limit": 23.5,
+        # wall-clock bound for THIS session only (hours). Unlike time_limit
+        # (cumulative across resumes via elapsed_time, reference parity),
+        # this bounds a single fit() call — the chip-sharing knob: a bounded
+        # run checkpoints, finalizes and frees the chip, and a later resume
+        # gets a fresh budget instead of exiting immediately.
+        "session_time_limit": None,
         "finish_criterion": {},
         "param_loss_epochs": None,
         "param_weights_by_dataset": {},

@@ -484,6 +484,9 @@ class Trainer:
         if max_epochs is None:  # explicit 0 means "train nothing"
             max_epochs = int(self.trainer_cfg.get('max_epochs', 100))
         time_limit_h = self.cfg.get('time_limit')
+        # per-session bound: measured from THIS fit() call only (no
+        # elapsed_time), so a resume under the same flag gets a fresh budget
+        session_limit_h = self.cfg.get('session_time_limit')
         finish_criterion = {
             float(k): float(v)
             for k, v in (self.cfg.get('finish_criterion') or {}).items()}
@@ -538,6 +541,9 @@ class Trainer:
             if relevant and es_loss > min(relevant):
                 break
             if time_limit_h is not None and elapsed_h > time_limit_h:
+                break
+            if session_limit_h is not None and (
+                    (time.time() - start_time) / 3600.0 > session_limit_h):
                 break
 
             if self.out_dir and self.epoch % ckpt_every == 0:

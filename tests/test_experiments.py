@@ -193,6 +193,28 @@ def test_espaloma_proxy_flow_tiny(tmp_path, monkeypatch):
     stored = json.loads((tmp_path / 'proxy_results.json').read_text())
     assert stored['test'] == summary2['test']
 
+    # --time_limit plumbing: the bound must land where Trainer.fit reads it
+    # (lit_model_config.session_time_limit), stop the run early, and still
+    # finalize; it must NOT use the cumulative time_limit key (a resume
+    # would exit immediately)
+    from grappa_tpu.train.config import read_yaml
+    run_yaml = tmp_path / 'runs' / 'espaloma-proxy' / 'grappa_config.yaml'
+    summary3 = proxy.train(epochs=50, out_dir=str(tmp_path / 'runs'),
+                           base_config=config, time_limit=1e-9)
+    stored_cfg = read_yaml(run_yaml)
+    assert stored_cfg['lit_model_config']['session_time_limit'] == 1e-9
+    assert stored_cfg['lit_model_config']['time_limit'] != 1e-9
+    assert summary3['epoch'] < 50  # bound fired, run finalized anyway
+    assert summary3['test'], summary3
+
+    # a later UNBOUNDED resume must clear the stored session bound and
+    # train on to the epoch target instead of exiting at the stale bound
+    summary4 = proxy.train(epochs=summary3['epoch'] + 1,
+                           out_dir=str(tmp_path / 'runs'), base_config=config)
+    stored_cfg = read_yaml(run_yaml)
+    assert stored_cfg['lit_model_config']['session_time_limit'] is None
+    assert summary4['epoch'] == summary3['epoch'] + 1
+
 
 def test_espaloma_proxy_table_stage(tmp_path):
     """The table stage renders proxy_results.json into the espaloma-style
