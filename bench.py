@@ -3,12 +3,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
+HEADLINE metric: whole-epoch scan dispatch (`Trainer(scan_epochs=True)`)
+steps/second on the 128-molecule x 32-conformer mixed-size batch — the path
+the production recipes actually run. Per-step-dispatch numbers are kept in
+the `per_step_dispatch` sub-section: on this host every dispatch crosses a
+tunnel with multi-ms latency that shifts with host load and resets
+(PERF.md round-3c: one reset doubled it), so per-step throughput measures
+the environment more than the code. `dispatch_latency_ms` (a trivial jitted
+scalar round-trip) is reported as the calibration: when it moves round over
+round, the environment moved, not the compute.
+
 Measured quantity: complete training steps per second (model forward, MM
 energy, forces via grad, energy+force+param loss, grad-of-grad backward,
-Adam update) on two workloads:
+Adam update) on these workloads:
 
   * small-molecule batch: 128 molecules x 32 conformers, mixed sizes
-    (espaloma-benchmark-like) — the headline metric,
+    (espaloma-benchmark-like) — the headline metric (scan dispatch),
   * the peak-MFU config: 512 molecules x 32 conformers in bfloat16 — the
     matmul-bound throughput point found by benchmarks/mfu_probe.py, and
   * protein-scale batch: 2 molecules x ~1500 atoms x 8 conformers
@@ -304,6 +314,30 @@ def wait_for_backend(budget_s: float = 900.0) -> bool:
     return False
 
 
+def measure_dispatch_latency(n: int = 30) -> float:
+    """Median milliseconds for one trivial jitted dispatch + host fetch.
+    This is the environment calibration: the tunnel's per-dispatch cost,
+    independent of any model code. Compare it across BENCH_r*.json before
+    reading per-step numbers as code regressions."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tick(x):
+        return x + 1.0
+
+    x = jnp.float32(0.0)
+    x = tick(x)
+    float(x)   # warm the compile + connection
+    samples = []
+    for _ in range(n):
+        t0 = time.time()
+        x = tick(x)
+        float(x)   # host fetch forces execution (block_until_ready lies here)
+        samples.append(time.time() - t0)
+    return float(np.median(samples) * 1e3)
+
+
 def _note(msg: str):
     """Progress marker on stderr (stdout stays the one-JSON-line contract).
     Without these the bench is silent for its whole multi-minute run, which
@@ -317,12 +351,15 @@ def main():
     wait_for_backend()
     enable_compilation_cache()
 
+    dispatch_ms = measure_dispatch_latency()
+    _note(f'dispatch latency calibration: {dispatch_ms:.2f} ms')
+
     batch, _ = build_batch()
-    _note('small batch ready; measuring f32 headline step')
+    _note('small batch ready; measuring f32 per-step-dispatch path')
     jax_sec, flops = measure_jax(batch)
     small = _perf(jax_sec, flops)
     small['mol_confs_per_sec'] = round(N_MOLS * N_CONFS / jax_sec, 1)
-    _note(f'f32 headline: {small["steps_per_sec"]} steps/s')
+    _note(f'f32 per-step: {small["steps_per_sec"]} steps/s')
 
     # the same step with bf16 matmul compute (validated for training
     # accuracy, PERF.md): the throughput option
@@ -371,23 +408,36 @@ def main():
         print(f"# torch baseline failed: {exc}")
         torch_sec = None
 
-    vs_baseline = (torch_sec / jax_sec) if torch_sec else 1.0
+    # headline = the production path (scan_epochs); fall back to the
+    # per-step number only if the scan path failed outright
+    scan_ok = 'steps_per_sec' in scan_epoch
+    head_sec = (1.0 / scan_epoch['steps_per_sec']) if scan_ok else jax_sec
+    vs_baseline = (torch_sec / head_sec) if torch_sec else 1.0
     print(json.dumps({
-        'metric': 'train_steps_per_sec_128mol_32conf',
-        'value': small['steps_per_sec'],
+        'metric': ('train_steps_per_sec_scan_epoch_128mol_32conf'
+                   if scan_ok else 'train_steps_per_sec_128mol_32conf'),
+        'value': (scan_epoch['steps_per_sec'] if scan_ok
+                  else small['steps_per_sec']),
         'unit': 'steps/s',
         'vs_baseline': round(vs_baseline, 2),
         'baseline': 'torch-CPU proxy of the same step (informational; '
                     'reference publishes no throughput)',
-        'tflops': small['tflops'],
-        'mfu': small['mfu'],
+        'tflops': scan_epoch.get('tflops') if scan_ok else small['tflops'],
+        'mfu': scan_epoch.get('mfu') if scan_ok else small['mfu'],
         'mfu_peak': 'v5e dense bf16 394 TFLOP/s (headline step runs f32; '
                     'the bf16 section runs bf16 matmuls)',
-        'mol_confs_per_sec': small['mol_confs_per_sec'],
+        'mol_confs_per_sec': round(
+            N_MOLS * N_CONFS / head_sec, 1) if scan_ok
+            else small['mol_confs_per_sec'],
+        # environment calibration: tunnel per-dispatch cost. If this moved
+        # vs the previous BENCH_r*.json, per_step_dispatch moved with the
+        # environment, not the code (PERF.md round-3c).
+        'dispatch_latency_ms': round(dispatch_ms, 2),
+        'scan_epoch': scan_epoch,
+        'per_step_dispatch': small,
         'bf16': bf16,
         'peak_mfu': peak,
         'protein_scale': protein,
-        'scan_epoch': scan_epoch,
     }))
 
 
