@@ -445,3 +445,38 @@ def test_dp_scan_epoch_matches_looped_dp_steps(setup):
     for a, b in zip(jax.tree.leaves(p_scan), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_flagship_config_sharded_steps(setup):
+    """The deployed 40.8M default config must compile+execute under both dp
+    and atom sharding (its param tree — 512-wide GNN, 4 tuple heads,
+    fused 'auto' gates — differs structurally from the small config the
+    other tests use). Tiny data shapes; the param tree is what's tested.
+    Mirrors the flagship section of __graft_entry__.dryrun_multichip."""
+    from grappa_tpu.models.grappa_model import get_default_model_config
+    from grappa_tpu.parallel.sp import (
+        atom_sharded_pad_spec, make_atom_sharded_train_step,
+        shard_batch_by_atoms)
+
+    _, _, batches, stacked = setup
+    mesh = make_mesh(N_DEV)
+    model = make_model(get_default_model_config())
+    params = model.init(jax.random.key(7), batches[0])
+    tx = make_optimizer()
+
+    dp_step = make_dp_train_step(model, tx, mesh, donate=False)
+    weights = stack_loss_weights([_weights(b.num_mols) for b in batches])
+    _, _, loss, _ = dp_step(params, tx.init(params), stacked, weights,
+                            jnp.float32(1e-4),
+                            jax.random.split(jax.random.key(8), N_DEV))
+    assert np.isfinite(float(loss))
+
+    big = MolGraph.from_moldata(make_moldata(seed=77, n_confs=2, n_atoms=48))
+    sp_batch = collate([big], pad=atom_sharded_pad_spec([big], 2, mesh))
+    sharded = shard_batch_by_atoms(sp_batch, mesh)
+    sp_step = make_atom_sharded_train_step(model, tx, mesh, donate=False)
+    _, _, sp_loss, _ = sp_step(params, tx.init(params), sharded,
+                               _weights(sp_batch.num_mols),
+                               jnp.float32(1e-4), jax.random.key(9))
+    assert np.isfinite(float(sp_loss))
