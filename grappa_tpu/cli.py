@@ -359,6 +359,34 @@ def cmd_dataset(argv):
         print(json.dumps({**stats, 'target': args.target}))
 
 
+def _audit_checkpoint(path):
+    """Key-for-key audit of a checkpoint file against the expected reference
+    state_dict contract + tolerant import. Returns (report, model, params,
+    config). Shared by import-ref and ingest-release."""
+    import warnings
+
+    from grappa_tpu.train.export import load_model_dict, model_from_dict
+    from grappa_tpu.train.torch_compat import expected_reference_keys
+    model_dict = load_model_dict(path)
+    sd = model_dict['state_dict']
+    model_config = model_dict['config'].get('model_config',
+                                            model_dict['config'])
+    expected = expected_reference_keys(model_config)
+    present = set(sd)
+    report = {
+        'file': str(path),
+        'keys_in_file': len(present),
+        'keys_expected': len(expected),
+        'missing_vs_expected': sorted(expected - present),
+        'unexpected_in_file': sorted(present - expected),
+    }
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        model, params, config = model_from_dict(model_dict)
+        report['import_warnings'] = [str(w.message) for w in caught]
+    return report, model, params, config
+
+
 def cmd_import_ref(argv):
     p = argparse.ArgumentParser(
         prog='grappa_import_ref',
@@ -375,30 +403,9 @@ def cmd_import_ref(argv):
     if not args.tag and not args.file:
         p.error('need --tag or --file')
 
-    import warnings
-
-    from grappa_tpu.train.export import load_model_dict
-    from grappa_tpu.train.torch_compat import expected_reference_keys
     from grappa_tpu.zoo import model_path_from_tag
     path = Path(args.file) if args.file else model_path_from_tag(args.tag)
-    model_dict = load_model_dict(path)
-    sd = model_dict['state_dict']
-    model_config = model_dict['config'].get('model_config',
-                                            model_dict['config'])
-    expected = expected_reference_keys(model_config)
-    present = set(sd)
-    report = {
-        'file': str(path),
-        'keys_in_file': len(present),
-        'keys_expected': len(expected),
-        'missing_vs_expected': sorted(expected - present),
-        'unexpected_in_file': sorted(present - expected),
-    }
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter('always')
-        from grappa_tpu.train.export import model_from_dict
-        model, params, config = model_from_dict(model_dict)
-        report['import_warnings'] = [str(w.message) for w in caught]
+    report, model, params, config = _audit_checkpoint(path)
 
     # smoke prediction through the full inference API
     from grappa_tpu.api import Grappa
@@ -413,6 +420,87 @@ def cmd_import_ref(argv):
     print(json.dumps(report, indent=1))
 
 
+def cmd_ingest_release(argv):
+    """The one-command release parity check (reference counterpart:
+    training/eval_model.py:20-301 + utils/loading_utils.py:7-86 end-to-end):
+    checkpoint audit+import -> dataset-zoo resolution -> espaloma-split test
+    eval -> comparison table against the published grappa-1.2 numbers.
+
+    Zero-egress environments: drop the released .pth into
+    $GRAPPA_TPU_CACHE/models/ and the dataset zips (or extracted dirs) into
+    $GRAPPA_TPU_CACHE/datasets/, then run exactly this command.
+    """
+    p = argparse.ArgumentParser(
+        prog='grappa_ingest_release',
+        description=cmd_ingest_release.__doc__)
+    p.add_argument('-t', '--tag', default='grappa-1.2',
+                   help='model tag or checkpoint path (default grappa-1.2)')
+    p.add_argument('-d', '--datasets', nargs='+', default=None,
+                   help='dataset tags/dirs; default: every dataset with '
+                        'published grappa-1.2 numbers')
+    p.add_argument('--split', default='espaloma_split',
+                   help='split json path or zoo tag (default espaloma_split)')
+    p.add_argument('-o', '--out', default='ingest_report',
+                   help='output prefix: writes <out>.json, <out>.md, '
+                        '<out>.tex')
+    p.add_argument('--n-bootstrap', type=int, default=1000)
+    p.add_argument('--rtol', type=float, default=None,
+                   help='published-parity relative tolerance '
+                        '(default published.PARITY_RTOL)')
+    args = p.parse_args(argv)
+
+    from grappa_tpu.data.dataset import load_split
+    from grappa_tpu.published import (GRAPPA_12_TEST_RMSE, PARITY_RTOL,
+                                      parity_verdict)
+    from grappa_tpu.train.eval_model import eval_model
+    from grappa_tpu.train.report import markdown_table, write_report
+    from grappa_tpu.train.run import load_datasets, resolve_splitpath
+    from grappa_tpu.zoo import model_path_from_tag
+
+    # 1. checkpoint: resolve, audit against the reference key contract,
+    #    tolerant import (loud report either way)
+    path = model_path_from_tag(args.tag)
+    audit, model, params, config = _audit_checkpoint(path)
+    print(f"# checkpoint {path}: {audit['keys_in_file']} keys, "
+          f"{len(audit['missing_vs_expected'])} missing vs expected, "
+          f"{len(audit['unexpected_in_file'])} unexpected")
+
+    # 2. datasets + split through the zoo exactly like a training run
+    tags = args.datasets or sorted(GRAPPA_12_TEST_RMSE)
+    ds = load_datasets(tags)
+    ds.remove_uncommon_features()
+    split = load_split(resolve_splitpath(args.split))
+    _, _, te = ds.split(split.get('train', []), split.get('val', []),
+                        split.get('test', []))
+    if len(te) == 0:
+        raise SystemExit(
+            f'the split {args.split!r} selects no test molecules from '
+            f'{tags} — wrong split for these datasets?')
+    print(f'# evaluating {len(te)} test molecules from {len(tags)} datasets')
+
+    # 3. bootstrap-CI eval on the test split (unwrap the model key:
+    #    eval_model returns {'grappa_tpu': {dataset: metrics}})
+    results = eval_model(model, params, te, n_bootstrap=args.n_bootstrap,
+                         config=config)['grappa_tpu']
+
+    # 4. verdict + side-by-side table vs the published numbers
+    verdict = parity_verdict(
+        {k: v for k, v in results.items() if k != 'avg'},
+        rtol=args.rtol if args.rtol is not None else PARITY_RTOL)
+    report = {'checkpoint_audit': audit, 'datasets': tags,
+              'split': str(args.split), 'results': results,
+              'parity': verdict}
+    Path(f'{args.out}.json').write_text(json.dumps(report, indent=1))
+    table = {'grappa_tpu (imported)': results,
+             'published grappa-1.2': GRAPPA_12_TEST_RMSE}
+    write_report(table, args.out, with_ci=True)
+    print(markdown_table(table, with_ci=False))
+    print(f"# wrote {args.out}.json/.md/.tex; published parity "
+          f"(rtol={verdict['rtol']}): "
+          f"{'PASS' if verdict['pass'] else 'FAIL'}")
+    return 0 if verdict['pass'] else 1
+
+
 COMMANDS = {
     'train': cmd_train,
     'resume': cmd_resume,
@@ -422,6 +510,7 @@ COMMANDS = {
     'gmx': cmd_gmx,
     'release': cmd_release,
     'import-ref': cmd_import_ref,
+    'ingest-release': cmd_ingest_release,
     'dataset': cmd_dataset,
 }
 
@@ -436,8 +525,7 @@ def main(argv=None):
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; available: {sorted(COMMANDS)}")
         return 2
-    COMMANDS[cmd](argv[1:])
-    return 0
+    return COMMANDS[cmd](argv[1:]) or 0
 
 
 # console-script entry points
