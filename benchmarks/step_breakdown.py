@@ -58,6 +58,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # the disk-cached batch holds host numpy leaves; the loss closures below
+    # capture the batch, and numpy_leaf[tracer] indexing fails in trace —
+    # put it on device once (also how the Trainer holds batches)
+    batch = jax.tree.map(jnp.asarray, batch)
     from grappa_tpu.models import mm_energy
     from grappa_tpu.models.grappa_model import (
         get_default_model_config, make_model)
@@ -68,6 +72,13 @@ def main():
     if args.bf16:
         cfg['compute_dtype'] = 'bfloat16'
     model = make_model(cfg)
+    # FLOPs must come from the math-identical DENSE model: the fused Pallas
+    # heads/GNN are custom calls whose flops XLA's cost analysis cannot see
+    # (same correction as bench.py measure_jax; PERF.md round-3 CORRECTION)
+    flops_cfg = dict(cfg)
+    flops_cfg['fused_heads'] = False
+    flops_cfg['fused_gnn'] = False
+    dense_model = make_model(flops_cfg)
     params = jax.jit(model.init)(jax.random.key(0), batch)
     weights = LossWeights(
         energy=jnp.float32(1.0), gradient=jnp.float32(0.8),
@@ -77,9 +88,11 @@ def main():
 
     results = {}
 
-    def record(name, fn, fargs, fetch):
+    def record(name, fn, fargs, fetch, dense_fn=None):
+        """dense_fn: math-identical unfused twin used ONLY for the FLOP
+        count when fn contains Pallas custom calls."""
         sec = time_it(fn, fargs, args.steps, fetch)
-        fl = _flops(fn, fargs)
+        fl = _flops(dense_fn or fn, fargs)
         results[name] = {
             'ms': round(sec * 1e3, 2),
             'gflops': round(fl / 1e9, 1),
@@ -89,7 +102,8 @@ def main():
     # 1. forward (GNN + heads) -> parameter dict
     fwd = jax.jit(lambda p, b: model.apply(p, b))
     record('forward', fwd, (params, batch),
-           lambda out: materialize(out['n2_k']))
+           lambda out: materialize(out['n2_k']),
+           dense_fn=jax.jit(lambda p, b: dense_model.apply(p, b)))
 
     pred = fwd(params, batch)
     pred = jax.tree.map(lambda x: x, pred)
@@ -100,18 +114,21 @@ def main():
            lambda out: materialize(out[0]))
 
     # 3. loss forward only (model + energy + loss)
-    def loss_fn(p):
-        out = model.apply(p, batch, deterministic=False,
-                          rngs={'dropout': rng})
+    def loss_fn(p, m=None):
+        out = (m or model).apply(p, batch, deterministic=False,
+                                 rngs={'dropout': rng})
         return molwise_loss(batch, out, weights)
     lfwd = jax.jit(lambda p: loss_fn(p)[0])
-    record('loss_forward', lfwd, (params,), materialize)
+    record('loss_forward', lfwd, (params,), materialize,
+           dense_fn=jax.jit(lambda p: loss_fn(p, dense_model)[0]))
 
     # 4. value_and_grad of the loss (the grad-of-grad backward)
     lgrad = jax.jit(lambda p: jax.value_and_grad(
         lambda q: loss_fn(q)[0])(p))
     record('loss_value_and_grad', lgrad, (params,),
-           lambda out: materialize(out[0]))
+           lambda out: materialize(out[0]),
+           dense_fn=jax.jit(lambda p: jax.value_and_grad(
+               lambda q: loss_fn(q, dense_model)[0])(p)))
 
     # 5. optimizer update alone
     tx = make_optimizer()
@@ -125,7 +142,8 @@ def main():
     step = make_train_step(model, tx, donate=False)
     record('full_step', step,
            (params, opt_state, batch, weights, jnp.float32(1e-4), rng),
-           lambda out: materialize(out[2]))
+           lambda out: materialize(out[2]),
+           dense_fn=make_train_step(dense_model, tx, donate=False))
 
     print(json.dumps({'workload': f'{args.mols}x{args.confs}',
                       'compute_dtype': cfg['compute_dtype'],

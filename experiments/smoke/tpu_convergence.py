@@ -25,6 +25,15 @@ def main():
     ap.add_argument('--compute-dtype', default='float32',
                     choices=['float32', 'bfloat16'],
                     help='matmul compute dtype (bf16 accuracy validation)')
+    ap.add_argument('--gnn-dtype', default=None,
+                    choices=['float32', 'bfloat16'],
+                    help='override GNN stage dtype (bf16-tax diagnosis)')
+    ap.add_argument('--heads-dtype', default=None,
+                    choices=['float32', 'bfloat16'],
+                    help='override tuple-head stage dtype')
+    ap.add_argument('--scan-epochs', action='store_true',
+                    help='one dispatch per epoch (production dispatch mode; '
+                         'much faster through the tunnel)')
     ap.add_argument('--name', default=None)
     args = ap.parse_args()
 
@@ -37,6 +46,8 @@ def main():
     model_cfg.update({
         'gnn_dropout_attention': 0.0, 'gnn_dropout_final': 0.0,
         'parameter_dropout': 0.0, 'compute_dtype': args.compute_dtype,
+        'gnn_compute_dtype': args.gnn_dtype,
+        'heads_compute_dtype': args.heads_dtype,
     })
     config = default_config()
     overwrite_config({
@@ -50,6 +61,7 @@ def main():
                              'lr_decay': 0.7},
         'trainer_config': {'max_epochs': args.epochs,
                            'checkpoint_every': 200,
+                           'scan_epochs': bool(args.scan_epochs),
                            'name': 'tpu-convergence'},
         'test_model': True,
     }, config)

@@ -74,6 +74,10 @@ def get_default_model_config() -> Dict:
         # TPU-specific: matmul compute dtype ('float32' | 'bfloat16');
         # parameters, layer norms, softmax and all physics stay float32
         "compute_dtype": "float32",
+        # per-stage overrides for the bf16 accuracy diagnosis (PERF.md):
+        # None falls back to compute_dtype
+        "gnn_compute_dtype": None,
+        "heads_compute_dtype": None,
         # TPU-specific: fused Pallas transformer block for the tuple heads
         # ('auto' = on for TPU backends, off on CPU; identical math and an
         # identical checkpoint tree either way — ops/fused_block.py)
@@ -123,8 +127,15 @@ class GrappaModel(nn.Module):
     def __call__(self, batch: GraphBatch,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
-        dtype = (jnp.bfloat16 if cfg.get('compute_dtype') == 'bfloat16'
-                 else None)
+
+        def _dt(stage_key):
+            # per-stage precision override (bf16 accuracy diagnosis,
+            # PERF.md bf16 table): falls back to the global compute_dtype
+            v = cfg.get(stage_key) or cfg.get('compute_dtype')
+            return jnp.bfloat16 if v == 'bfloat16' else None
+
+        dtype = _dt('heads_compute_dtype')
+        gnn_dtype = _dt('gnn_compute_dtype')
         fused = cfg.get('fused_heads', 'auto')
         if fused == 'auto':
             # the fused Pallas head block is TPU-only; CPU (tests, meshes)
@@ -150,7 +161,7 @@ class GrappaModel(nn.Module):
             final_dropout=cfg['gnn_dropout_final'],
             layer_norm=cfg['layer_norm'],
             self_interaction=cfg['self_interaction'],
-            dtype=dtype,
+            dtype=gnn_dtype,
             remat=cfg.get('remat', False),
             fused=fused_gnn,
             name='gnn',

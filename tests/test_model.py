@@ -233,3 +233,53 @@ def test_remat_identical_outputs_and_grads():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_per_stage_compute_dtype(small_setup):
+    """gnn_compute_dtype / heads_compute_dtype override the global
+    compute_dtype per stage (the bf16 accuracy-tax diagnosis knobs):
+    same param tree, close-to-f32 outputs, and each override actually
+    changes the numerics of only its own stage."""
+    model, params0, batch, _ = small_setup
+    # jitter away from init: residual branches are zero-initialized, so at
+    # init the GNN attention contributes exactly 0 and a dtype change there
+    # would be invisible
+    leaves, treedef = jax.tree.flatten(params0)
+    keys = jax.random.split(jax.random.key(42), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        leaf + 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        for leaf, k in zip(leaves, keys)])
+    out_f32 = model.apply(params, batch)
+
+    def apply_with(**over):
+        cfg = get_small_model_config()
+        cfg.update(over)
+        m = make_model(cfg)
+        # identical param tree: f32 params reusable under any stage dtype
+        return m.apply(params, batch)
+
+    out_gnn_bf16 = apply_with(gnn_compute_dtype='bfloat16')
+    out_heads_bf16 = apply_with(heads_compute_dtype='bfloat16')
+    out_all_bf16 = apply_with(compute_dtype='bfloat16')
+    for k in out_f32:
+        a = np.asarray(out_f32[k], np.float64)
+        scale = np.abs(a).mean() + 1e-3
+        for out in (out_gnn_bf16, out_heads_bf16, out_all_bf16):
+            assert out[k].dtype == out_f32[k].dtype  # f32 outputs always
+            rel = np.abs(np.asarray(out[k], np.float64) - a).mean() / scale
+            assert rel < 0.15, (k, rel)
+    # the overrides are not no-ops
+    assert any(
+        np.abs(np.asarray(out_gnn_bf16[k], np.float64)
+               - np.asarray(out_f32[k], np.float64)).max() > 0
+        for k in out_f32)
+    assert any(
+        np.abs(np.asarray(out_heads_bf16[k], np.float64)
+               - np.asarray(out_f32[k], np.float64)).max() > 0
+        for k in out_f32)
+    # and compose: gnn override + heads override == full bf16
+    out_both = apply_with(gnn_compute_dtype='bfloat16',
+                          heads_compute_dtype='bfloat16')
+    for k in out_f32:
+        np.testing.assert_array_equal(np.asarray(out_both[k]),
+                                      np.asarray(out_all_bf16[k]), err_msg=k)
