@@ -282,3 +282,49 @@ def test_espaloma_proxy_regression_gates():
         lims = ratchet_limits(ds)
         for key, lim in lims.items():
             assert m[key] <= lim, (ds, key, m[key], lim)
+
+
+def test_proxy_analyze_verdicts(tmp_path):
+    """The convergence analyzer classifies the three regimes it exists to
+    distinguish (still-descending / generalization floor / plateau) and
+    records LR decay events."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'proxy_analyze', Path(__file__).parent.parent /
+        'experiments' / 'espaloma_proxy' / 'analyze.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def write_run(dirname, train_fn, val_fn, lr_fn):
+        d = tmp_path / dirname
+        d.mkdir()
+        with open(d / 'metrics.jsonl', 'w') as f:
+            for e in range(100):
+                f.write(json.dumps({'epoch': e, 'time': float(e),
+                                    'train_loss': train_fn(e),
+                                    'lr': lr_fn(e)}) + '\n')
+                f.write(json.dumps({
+                    'epoch': e, 'time': float(e) + 0.5,
+                    'early_stopping_loss': val_fn(e),
+                    'val_metrics/avg/rmse_energies': val_fn(e),
+                    'val_metrics/avg/rmse_gradients': val_fn(e)}) + '\n')
+        return d
+
+    descending = mod.analyze(write_run(
+        'a', lambda e: 10 ** (-e / 50), lambda e: 10 ** (1 - e / 50),
+        lambda e: 1e-4))
+    assert 'still descending' in descending['verdict']
+    assert descending['best_es_loss']['epoch'] == 99
+
+    gen_floor = mod.analyze(write_run(
+        'b', lambda e: 10 ** (-e / 50),
+        lambda e: 2.0 if e > 30 else 10 - e * 0.25,
+        lambda e: 1e-4))
+    assert 'generalization floor' in gen_floor['verdict']
+
+    plateau = mod.analyze(write_run(
+        'c', lambda e: 3.0, lambda e: 2.0,
+        lambda e: 1e-4 if e < 50 else 5e-5))
+    assert 'optimization plateau' in plateau['verdict']
+    assert plateau['lr_decay_events'] == [
+        {'epoch': 50, 'from': 1e-4, 'to': 5e-5}]
