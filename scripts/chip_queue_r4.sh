@@ -18,10 +18,6 @@ fi
 echo "=== proxy launcher done; queue begins $(date) ===" >> "$Q"
 sleep 30   # let the chip client fully release
 
-echo "--- lc sweep $(date) ---" >> "$Q"
-timeout 10800 python experiments/lc/run_lc.py >> "$Q" 2>&1
-echo "lc rc=$? $(date)" >> "$Q"
-
 echo "--- step breakdown f32 $(date) ---" >> "$Q"
 timeout 2400 python benchmarks/step_breakdown.py \
   > /root/repo/benchmarks/step_breakdown_r4_f32.json 2>>"$Q"
@@ -31,6 +27,10 @@ echo "--- step breakdown bf16 $(date) ---" >> "$Q"
 timeout 2400 python benchmarks/step_breakdown.py --bf16 \
   > /root/repo/benchmarks/step_breakdown_r4_bf16.json 2>>"$Q"
 echo "breakdown bf16 rc=$? $(date)" >> "$Q"
+
+echo "--- lc sweep $(date) ---" >> "$Q"
+timeout 10800 python experiments/lc/run_lc.py >> "$Q" 2>&1
+echo "lc rc=$? $(date)" >> "$Q"
 
 echo "--- bf16 ablation: GNN bf16 / heads f32 $(date) ---" >> "$Q"
 timeout 7200 python experiments/smoke/tpu_convergence.py --epochs 1500 \
