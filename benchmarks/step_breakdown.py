@@ -130,6 +130,35 @@ def main():
            dense_fn=jax.jit(lambda p: jax.value_and_grad(
                lambda q: loss_fn(q, dense_model)[0])(p)))
 
+    # 4b. stage partition of the backward: differentiate w.r.t. the head
+    # params ONLY — h is then constant, XLA prunes the whole GNN backward,
+    # and (loss_value_and_grad - this) isolates the GNN's backward share.
+    # Same trick the other way for the GNN-weights-only gradient (this one
+    # still chains through the heads' input-cotangents, so it is an upper
+    # bound on the GNN share).
+    def split_loss(p_gnn, p_rest, m=None):
+        p = {'params': dict(p_rest, gnn=p_gnn)}
+        out = (m or model).apply(p, batch, deterministic=False,
+                                 rngs={'dropout': rng})
+        return molwise_loss(batch, out, weights)[0]
+
+    p_gnn = params['params']['gnn']
+    p_rest = {k: v for k, v in params['params'].items() if k != 'gnn'}
+    g_heads = jax.jit(lambda pg, pr: jax.value_and_grad(
+        split_loss, argnums=1)(pg, pr))
+    record('loss_grad_heads_params_only', g_heads, (p_gnn, p_rest),
+           lambda out: materialize(out[0]),
+           dense_fn=jax.jit(lambda pg, pr: jax.value_and_grad(
+               lambda a, b: split_loss(a, b, dense_model),
+               argnums=1)(pg, pr)))
+    g_gnn = jax.jit(lambda pg, pr: jax.value_and_grad(
+        split_loss, argnums=0)(pg, pr))
+    record('loss_grad_gnn_params_only', g_gnn, (p_gnn, p_rest),
+           lambda out: materialize(out[0]),
+           dense_fn=jax.jit(lambda pg, pr: jax.value_and_grad(
+               lambda a, b: split_loss(a, b, dense_model),
+               argnums=0)(pg, pr)))
+
     # 5. optimizer update alone
     tx = make_optimizer()
     opt_state = tx.init(params)
