@@ -159,6 +159,20 @@ def main():
                lambda a, b: split_loss(a, b, dense_model),
                argnums=0)(pg, pr)))
 
+    # 4c. model-only value_and_grad: same model fwd+bwd but a pure
+    # parameter-space loss (no MM energy, no forces, no grad-of-grad).
+    # (loss_value_and_grad - this) is the measured cost of the entire
+    # MM-energy/forces machinery inside the double backward.
+    def model_only_loss(p, m=None):
+        out = (m or model).apply(p, batch, deterministic=False,
+                                 rngs={'dropout': rng})
+        return sum(jnp.mean(jnp.square(v)) for v in out.values())
+    m_vag = jax.jit(lambda p: jax.value_and_grad(model_only_loss)(p))
+    record('model_only_value_and_grad', m_vag, (params,),
+           lambda out: materialize(out[0]),
+           dense_fn=jax.jit(lambda p: jax.value_and_grad(
+               lambda q: model_only_loss(q, dense_model))(p)))
+
     # 5. optimizer update alone
     tx = make_optimizer()
     opt_state = tx.init(params)
