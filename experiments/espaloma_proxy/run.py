@@ -137,6 +137,9 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
     # one jit dispatch per epoch (exact-equivalence tested): the dominant
     # cost on the tunneled chip is per-step dispatch latency
     config['trainer_config']['scan_epochs'] = True
+    # stream checkpoints on a background thread: synchronous saves were
+    # ~90% of the measured 31.6 s proxy epoch (benchmarks/epoch_profile.py)
+    config['trainer_config']['async_checkpoints'] = True
     if time_limit is not None:
         # wall-clock bound (hours): the run checkpoints, finalizes (test
         # eval + model export) and RELEASES THE CHIP at the bound even if
@@ -156,7 +159,8 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
         tc = stored['trainer_config']
         # sync the dispatch knobs too: a run checkpointed before a driver
         # change must resume with the driver's current execution mode
-        wanted = {'max_epochs': epochs, 'scan_epochs': True}
+        wanted = {'max_epochs': epochs, 'scan_epochs': True,
+                  'async_checkpoints': True}
         changed = {k: v for k, v in wanted.items() if tc.get(k) != v}
         if changed:
             tc.update(changed)

@@ -80,6 +80,12 @@ def default_config() -> Dict:
         # the device-resident batch cache) — amortizes the per-dispatch
         # host round-trip on tunneled chips; needs cache_batches
         "scan_epochs": False,
+        # stream checkpoint writes on a background thread (device-side
+        # snapshot first, skip-if-busy throttling). On tunneled chips the
+        # ~6 MB/s device->host pull otherwise dominates the epoch wall
+        # clock (benchmarks/epoch_profile.py: 86 s per params+Adam save
+        # vs a 2.2 s scan-epoch train dispatch).
+        "async_checkpoints": False,
     }
 
     return {

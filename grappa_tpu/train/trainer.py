@@ -19,6 +19,8 @@ traced scalars so none of the schedule changes trigger recompilation.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 from pathlib import Path
 from typing import Callable, Dict, Optional, Sequence
@@ -211,6 +213,21 @@ class Trainer:
                                                             mesh)
             else:
                 self.scan_step = make_scan_epoch_step(model, self.tx)
+
+        # async checkpointing: snapshot params/opt on DEVICE (cheap HBM
+        # copy), then stream the device->host pull + file write on a
+        # background thread while training continues. On tunneled chips the
+        # pull runs at ~6 MB/s, so a 490 MB params+Adam last.ckpt costs ~86 s
+        # — synchronous saves made checkpoint I/O ~90% of the measured proxy
+        # epoch wall clock (benchmarks/epoch_profile.py). Skip-if-busy
+        # throttling makes the effective checkpoint cadence "as often as the
+        # tunnel sustains" with zero training stalls. Default off (bit-stable
+        # tests); production/proxy configs enable it.
+        self.async_checkpoints = bool(
+            trainer_config.get('async_checkpoints', False))
+        self._ckpt_thread: Optional[threading.Thread] = None
+        self._ckpt_error: Optional[BaseException] = None
+        self._snapshot = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
 
         self.epoch = 0
         self.global_step = 0
@@ -500,13 +517,19 @@ class Trainer:
         self._fit_start = start_time
 
         while self.epoch < max_epochs:
+            t_ep = time.time()
             self.train_epoch()
+            t_train = time.time() - t_ep
+            t_val0 = time.time()
             metrics = self.validate()
+            t_val = time.time() - t_val0
             es_loss = early_stopping_loss(metrics, es_energy_w)
             self.history.append({'epoch': self.epoch, 'metrics': metrics,
                                  'early_stopping_loss': es_loss})
             self.log_fn({'epoch': self.epoch, 'val_metrics': metrics,
-                         'early_stopping_loss': es_loss})
+                         'early_stopping_loss': es_loss,
+                         't_train': round(t_train, 3),
+                         't_val': round(t_val, 3)})
 
             if self.epoch >= self.start_qm_epochs and np.isfinite(es_loss):
                 if es_loss < self.best_loss:
@@ -514,12 +537,14 @@ class Trainer:
                     self.best_loss = es_loss
                     # best checkpoints: params only (no optimizer state) and
                     # throttled — device->host transfer of the full Adam
-                    # state is expensive on tunneled chips
+                    # state is expensive on tunneled chips. An async save
+                    # skipped because the writer is busy does NOT advance
+                    # the throttle clock, so the next improvement retries.
                     if self.out_dir and (
                             self.epoch - self._last_best_save >= ckpt_every):
-                        self.save_checkpoint(self.out_dir / 'best.ckpt',
-                                             include_opt_state=False)
-                        self._last_best_save = self.epoch
+                        if self.save_checkpoint(self.out_dir / 'best.ckpt',
+                                                include_opt_state=False):
+                            self._last_best_save = self.epoch
                 if es_loss < self.plateau_baseline:
                     self.plateau_baseline = es_loss
                     self.epochs_without_improvement = 0
@@ -550,7 +575,10 @@ class Trainer:
                 self.save_checkpoint(self.out_dir / 'last.ckpt')
 
         if self.out_dir:
-            self.save_checkpoint(self.out_dir / 'last.ckpt')
+            # the fit-exit resume point must be on disk before returning
+            self.save_checkpoint(self.out_dir / 'last.ckpt', blocking=True)
+        else:
+            self._join_ckpt_thread()
         # fold this session's wall time into the stored total so a later
         # fit() (or a save outside fit) doesn't double-count it
         self.elapsed_time += time.time() - start_time
@@ -560,14 +588,29 @@ class Trainer:
 
     # ------------------------------------------------------------------
     # checkpointing: msgpack params + optimizer + json sidecar
-    def save_checkpoint(self, path, include_opt_state: bool = True):
+    def _join_ckpt_thread(self):
+        """Wait for an in-flight async checkpoint write and surface its
+        error (if any) to the caller."""
+        if self._ckpt_thread is not None:
+            self._ckpt_thread.join()
+            self._ckpt_thread = None
+        if self._ckpt_error is not None:
+            err, self._ckpt_error = self._ckpt_error, None
+            raise RuntimeError('async checkpoint write failed') from err
+
+    def save_checkpoint(self, path, include_opt_state: bool = True,
+                        blocking: Optional[bool] = None) -> bool:
+        """Write params (+ optimizer state) and a json sidecar to `path`.
+
+        blocking=None resolves to `not self.async_checkpoints`. A
+        non-blocking save snapshots the trees on device and returns
+        immediately while a background thread streams them to disk; if a
+        previous async write is still in flight it is SKIPPED (returns
+        False) — on slow tunnels this self-throttles checkpoint cadence to
+        whatever the link sustains without ever stalling training."""
         path = Path(path)
-        path.mkdir(parents=True, exist_ok=True)
-        (path / 'params.msgpack').write_bytes(
-            serialization.to_bytes(self.params))
-        if include_opt_state:
-            (path / 'opt_state.msgpack').write_bytes(
-                serialization.to_bytes(self.opt_state))
+        if blocking is None:
+            blocking = not self.async_checkpoints
         elapsed = self.elapsed_time + (
             time.time() - self._fit_start if self._fit_start else 0.0)
         meta = {
@@ -577,7 +620,31 @@ class Trainer:
             'elapsed_time': elapsed,
             'config': _jsonable(self.full_config),
         }
-        (path / 'meta.json').write_text(json.dumps(meta, indent=1))
+        if blocking:
+            # serialize with any in-flight async write to the same tree
+            self._join_ckpt_thread()
+            _write_checkpoint(path, self.params,
+                              self.opt_state if include_opt_state else None,
+                              meta)
+            return True
+        if self._ckpt_thread is not None and self._ckpt_thread.is_alive():
+            return False
+        self._join_ckpt_thread()   # reap the finished thread + its errors
+        # device-side copies: the training step donates self.params /
+        # self.opt_state buffers, so the writer must hold its own
+        params = self._snapshot(self.params)
+        opt = self._snapshot(self.opt_state) if include_opt_state else None
+
+        def work():
+            try:
+                _write_checkpoint(path, params, opt, meta)
+            except BaseException as exc:   # surfaced on next join
+                self._ckpt_error = exc
+
+        self._ckpt_thread = threading.Thread(
+            target=work, name='grappa-ckpt-writer', daemon=True)
+        self._ckpt_thread.start()
+        return True
 
     def load_checkpoint(self, path):
         path = Path(path)
@@ -593,6 +660,25 @@ class Trainer:
         self.best_loss = meta['best_loss']
         self.plateau_baseline = meta.get('plateau_baseline', meta['best_loss'])
         self.elapsed_time = meta.get('elapsed_time', 0.0)
+
+
+def _write_checkpoint(path: Path, params, opt_state, meta: Dict):
+    """Serialize a checkpoint with per-file atomic replaces (tmp +
+    os.replace), params -> opt_state -> meta. A crash mid-write can never
+    truncate an existing checkpoint file (the old resume point survives);
+    the worst case is a params file up to one save newer than its meta."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+
+    def atomic_write(name: str, data: bytes):
+        tmp = path / (name + '.tmp')
+        tmp.write_bytes(data)
+        os.replace(tmp, path / name)
+
+    atomic_write('params.msgpack', serialization.to_bytes(params))
+    if opt_state is not None:
+        atomic_write('opt_state.msgpack', serialization.to_bytes(opt_state))
+    atomic_write('meta.json', json.dumps(meta, indent=1).encode())
 
 
 def _jsonable(obj):

@@ -306,10 +306,10 @@ def test_plateau_decay_keeps_monotone_best(tmp_path, monkeypatch):
     real_save = trainer.save_checkpoint
     monkeypatch.setattr(
         trainer, 'save_checkpoint',
-        lambda path, include_opt_state=True: (
-            best_saves.append((trainer.epoch, losses[trainer.epoch]))
+        lambda path, include_opt_state=True, **kw: (
+            best_saves.append((trainer.epoch, losses[trainer.epoch])) or True
             if str(path).endswith('best.ckpt')
-            else real_save(path, include_opt_state)))
+            else real_save(path, include_opt_state, **kw)))
     trainer.fit(max_epochs=len(losses))
 
     assert trainer.best_loss == 9.0
@@ -537,3 +537,79 @@ def test_trainer_scan_epochs_curriculum_weights(tmp_path):
     # epoch 2: param loss switched off (param_loss_epochs=2)
     assert captured[2].param.max() == 0.0
     assert captured[2].energy.min() == 1.0
+
+
+def test_async_checkpointing(tmp_path, monkeypatch):
+    """async_checkpoints: non-blocking saves write IDENTICAL files to the
+    sync path, skip-if-busy returns False without stalling, errors surface
+    on the next save/join, and fit's final last.ckpt is always on disk
+    before fit returns (blocking)."""
+    import threading
+    import time as time_mod
+    from grappa_tpu.train import trainer as trainer_mod
+
+    mds = make_dataset(n_mols=4, n_confs=3, seed=23, learnable=True)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=2, conf_strategy=3, shuffle=True,
+                         seed=0, drop_last=True)
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+    lit_cfg = {'lr': 2e-4, 'start_qm_epochs': 0, 'warmup_steps': 1}
+
+    trainer = Trainer(model, params, loader, None, lit_cfg,
+                      {'max_epochs': 1, 'async_checkpoints': True},
+                      out_dir=str(tmp_path / 'run'), cache_batches=True)
+    assert trainer.async_checkpoints
+
+    # async and sync writes produce byte-identical checkpoint payloads
+    assert trainer.save_checkpoint(tmp_path / 'a.ckpt') is True   # async
+    trainer._join_ckpt_thread()
+    trainer.save_checkpoint(tmp_path / 'b.ckpt', blocking=True)
+    from flax import serialization
+    for name in ('params.msgpack', 'opt_state.msgpack'):
+        ta = serialization.msgpack_restore(
+            (tmp_path / 'a.ckpt' / name).read_bytes())
+        tb = serialization.msgpack_restore(
+            (tmp_path / 'b.ckpt' / name).read_bytes())
+        la, lb = jax.tree.leaves(ta), jax.tree.leaves(tb)
+        assert len(la) == len(lb), name
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # no tmp litter
+    assert not list((tmp_path / 'a.ckpt').glob('*.tmp'))
+
+    # skip-if-busy: block the writer and request another save
+    release = threading.Event()
+    real_write = trainer_mod._write_checkpoint
+
+    def slow_write(path, p, o, meta):
+        release.wait(timeout=10)
+        real_write(path, p, o, meta)
+
+    monkeypatch.setattr(trainer_mod, '_write_checkpoint', slow_write)
+    assert trainer.save_checkpoint(tmp_path / 'c.ckpt') is True
+    assert trainer.save_checkpoint(tmp_path / 'd.ckpt') is False  # busy
+    release.set()
+    trainer._join_ckpt_thread()
+    assert (tmp_path / 'c.ckpt' / 'meta.json').exists()
+    assert not (tmp_path / 'd.ckpt').exists()
+
+    # a failing background write surfaces on the next join
+    def bad_write(path, p, o, meta):
+        raise OSError('disk gone')
+
+    monkeypatch.setattr(trainer_mod, '_write_checkpoint', bad_write)
+    assert trainer.save_checkpoint(tmp_path / 'e.ckpt') is True
+    time_mod.sleep(0.05)
+    with pytest.raises(RuntimeError, match='async checkpoint'):
+        trainer._join_ckpt_thread()
+    monkeypatch.setattr(trainer_mod, '_write_checkpoint', real_write)
+
+    # fit with async on: final last.ckpt is blocking -> present + loadable
+    out = trainer.fit(max_epochs=1)
+    assert len(out['history']) == 1
+    trainer2 = Trainer(model, params, loader, None, lit_cfg,
+                       {'max_epochs': 1}, out_dir=None)
+    trainer2.load_checkpoint(tmp_path / 'run' / 'last.ckpt')
+    assert trainer2.epoch == 1
