@@ -95,6 +95,13 @@ class StreamingEvaluator:
              gradient: jnp.ndarray, ds_names: Sequence[str]):
         e_se, n_conf, g_se, n_vec = jax.tree.map(
             np.asarray, _per_mol_sqerr(batch, energy, gradient))
+        self.accumulate(e_se, n_conf, g_se, n_vec, ds_names)
+
+    def accumulate(self, e_se, n_conf, g_se, n_vec,
+                   ds_names: Sequence[str]):
+        """Fold precomputed per-molecule accumulator arrays in (used by the
+        scanned validation path, which fetches a whole epoch of them in one
+        host transfer)."""
         for i, name in enumerate(ds_names):
             self._e_se[name] += float(e_se[i])
             self._n_e[name] += float(n_conf[i])

@@ -133,6 +133,27 @@ def make_eval_step(model) -> Callable:
     return step
 
 
+def make_scan_eval_epoch(model) -> Callable:
+    """ONE dispatch for a whole validation pass: lax.scan of
+    forward + energy/forces + the per-molecule metric accumulators over
+    stacked device-resident val batches. The per-batch loop costs 2 host
+    round-trips per batch (eval + metric fetch) on tunneled chips; this
+    returns the whole epoch's accumulator arrays in a single transfer."""
+    from grappa_tpu.train.evaluator import _per_mol_sqerr
+
+    @jax.jit
+    def epoch(params, batches):
+        def body(_, batch):
+            pred = model.apply(params, batch)
+            energy, gradient = mm_energy.energy_and_gradient(batch, pred)
+            return None, _per_mol_sqerr(batch, energy, gradient)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    return epoch
+
+
 class Trainer:
     def __init__(self, model, params,
                  train_loader: GraphLoader, val_loader: Optional[GraphLoader],
@@ -204,6 +225,13 @@ class Trainer:
             raise ValueError("scan_epochs requires cache_batches=True "
                              "(the scan consumes device-resident batches)")
         self.scan_epochs = scan_epochs
+        if scan_epochs and val_loader is not None and not val_loader.fixed_pad:
+            # the scanned validation pass stacks the val cache into one
+            # leading axis — sequential loaders default to per-batch bucket
+            # padding (non-uniform shapes), so flip this one to the fixed
+            # worst-case PadSpec (conf masks make padding metric-neutral;
+            # equivalence tested in test_scanned_validation_matches_loop)
+            val_loader.fixed_pad = True
         self._scan_cache = None
         self._dp_scan_cache = None
         if scan_epochs:
@@ -488,6 +516,32 @@ class Trainer:
             batches = self._val_cache
         else:
             batches = self.val_loader
+
+        if self.scan_epochs and self.cache_batches:
+            # one dispatch + one host fetch for the whole validation pass
+            # (vs 2 round-trips per batch); requires uniform val shapes,
+            # which fixed_pad gives — fall back to the loop otherwise
+            if getattr(self, '_val_scan_cache', None) is None:
+                from grappa_tpu.data.graph_batch import stack_batches
+                shapes = {tuple(x.shape for x in jax.tree.leaves(b))
+                          for b, _ in batches}
+                if len(shapes) == 1:
+                    self._val_scan_cache = (
+                        stack_batches([b for b, _ in batches]),
+                        [n for _, n in batches])
+                    self._val_scan_step = make_scan_eval_epoch(self.model)
+                else:
+                    self._val_scan_cache = False
+            if self._val_scan_cache is not False:
+                stacked, names = self._val_scan_cache
+                outs = jax.tree.map(np.asarray,
+                                    self._val_scan_step(self.params, stacked))
+                e_se, n_conf, g_se, n_vec = outs
+                for bi, ds_names in enumerate(names):
+                    self.evaluator.accumulate(e_se[bi], n_conf[bi],
+                                              g_se[bi], n_vec[bi], ds_names)
+                return self.evaluator.pool()
+
         for batch, ds_names in batches:
             energy, gradient = self.eval_step(self.params, batch)
             self.evaluator.step(batch, energy, gradient, ds_names)

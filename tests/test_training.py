@@ -613,3 +613,40 @@ def test_async_checkpointing(tmp_path, monkeypatch):
                        {'max_epochs': 1}, out_dir=None)
     trainer2.load_checkpoint(tmp_path / 'run' / 'last.ckpt')
     assert trainer2.epoch == 1
+
+
+def test_scanned_validation_matches_loop(tmp_path):
+    """validate() under scan_epochs (one dispatch for the whole val pass)
+    must produce identical metrics to the per-batch loop."""
+    mds = make_dataset(n_mols=8, n_confs=4, seed=29, learnable=True)
+    ds = Dataset.from_moldata(mds, 'syn')
+    loader = GraphLoader(ds, batch_size=4, conf_strategy=4, shuffle=True,
+                         seed=0, drop_last=True)
+    # two separate val loaders: the scan path flips its loader to fixed_pad
+    # (uniform shapes), the loop keeps per-batch buckets — metric equality
+    # across the two also proves padding-insensitivity of the evaluator
+    val_scan = GraphLoader(ds, batch_size=4, conf_strategy=4, shuffle=False)
+    val_loop = GraphLoader(ds, batch_size=4, conf_strategy=4, shuffle=False)
+    model = make_model(get_small_model_config())
+    batch, _ = next(iter(loader))
+    params = model.init(jax.random.key(0), batch)
+    lit_cfg = {'lr': 2e-4, 'start_qm_epochs': 0}
+
+    t_scan = Trainer(model, params, loader, val_scan, lit_cfg,
+                     {'max_epochs': 1}, cache_batches=True,
+                     scan_epochs=True)
+    assert val_scan.fixed_pad            # flipped for uniform shapes
+    t_loop = Trainer(model, params, loader, val_loop, lit_cfg,
+                     {'max_epochs': 1}, cache_batches=True,
+                     scan_epochs=False)
+    assert not val_loop.fixed_pad
+    m_scan = t_scan.validate()
+    m_loop = t_loop.validate()
+    assert set(m_scan) == set(m_loop)
+    for name in m_loop:
+        for key in m_loop[name]:
+            np.testing.assert_allclose(m_scan[name][key],
+                                       m_loop[name][key], rtol=1e-5,
+                                       err_msg=f'{name}/{key}')
+    # the scan path was actually taken (cache built, not the fallback)
+    assert t_scan._val_scan_cache is not False
