@@ -140,9 +140,15 @@ def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
         vl, batch_size=cfg.get('val_batch_size', 32),
         conf_strategy=cfg.get('val_conf_strategy', 500), shuffle=False) \
         if len(vl) else None
+    # fixed_pad: ONE compiled eval program for the whole test pass instead
+    # of one XLA compile per bucketed per-molecule shape — through the
+    # remote-compile path each compile costs 10s-3min, dwarfing the eval
+    # itself; padding is metric-neutral (masked reductions, equivalence
+    # tested in test_training.py::test_test_eval_fixed_pad_matches_bucketed)
     test_loader = GraphLoader(
         te, batch_size=cfg.get('test_batch_size', 1),
-        conf_strategy='max', shuffle=False) if len(te) else None
+        conf_strategy='max', shuffle=False,
+        fixed_pad=True) if len(te) else None
     return train_loader, val_loader, test_loader, split
 
 

@@ -231,7 +231,7 @@ def test_espaloma_proxy_table_stage(tmp_path):
     }}
     (tmp_path / 'proxy_results.json').write_text(json.dumps(results))
     verdict = table(out_dir=tmp_path)
-    # rna-like energy 3.4 exceeds its RATCHET ceiling (2.8) -> enforced fail
+    # rna-like energy 3.4 exceeds its RATCHET ceiling -> enforced fail
     assert not verdict['pass']
     assert verdict['per_dataset']['proxy-peptide'] == {
         'rmse_energies': True, 'crmse_gradients': True}
@@ -246,8 +246,12 @@ def test_espaloma_proxy_table_stage(tmp_path):
     assert json.loads((tmp_path / 'gate.json').read_text())['limits'] == GATE
 
     # results inside every ratchet ceiling pass the regression gate even
-    # above the aspirational target ...
-    results['test']['proxy-rna-like']['rmse_energies'] = 2.2
+    # above the aspirational target ... (derive the probe value from the
+    # live ceiling — the ratchet tightens whenever a better run completes)
+    from espaloma_proxy.run import GATE_TARGET, ratchet_limits
+    rna_ceiling = ratchet_limits('proxy-rna-like')['rmse_energies']
+    assert rna_ceiling > GATE_TARGET['rmse_energies']
+    results['test']['proxy-rna-like']['rmse_energies'] = rna_ceiling - 0.01
     (tmp_path / 'proxy_results.json').write_text(json.dumps(results))
     v = table(out_dir=tmp_path)
     assert v['pass'] and not v['target_pass']

@@ -650,3 +650,35 @@ def test_scanned_validation_matches_loop(tmp_path):
                                        err_msg=f'{name}/{key}')
     # the scan path was actually taken (cache built, not the fallback)
     assert t_scan._val_scan_cache is not False
+
+
+def test_test_eval_fixed_pad_matches_bucketed():
+    """The bootstrap test evaluation must be padding-invariant: a fixed
+    worst-case PadSpec (one XLA program for the whole test pass — the
+    tunneled-chip default in get_dataloaders) produces the same metrics as
+    per-batch bucketed padding."""
+    from grappa_tpu.train.eval_model import BootstrapEvaluator
+
+    mds = make_dataset(n_mols=6, n_confs=5, seed=31, learnable=True)
+    ds = Dataset.from_moldata(mds, 'syn')
+    model = make_model(get_small_model_config())
+    b0, _ = next(iter(GraphLoader(ds, batch_size=1, conf_strategy='max',
+                                  shuffle=False)))
+    params = model.init(jax.random.key(0), b0)
+
+    def run_eval(fixed_pad):
+        loader = GraphLoader(ds, batch_size=1, conf_strategy='max',
+                             shuffle=False, fixed_pad=fixed_pad)
+        ev = BootstrapEvaluator()
+        for batch, names in loader:
+            pred = model.apply(params, batch)
+            energy, gradient = mm_energy.energy_and_gradient(batch, pred)
+            ev.step(batch, energy, gradient, names)
+        return ev.pool(n_bootstrap=50)
+
+    m_fix, m_buck = run_eval(True), run_eval(False)
+    assert set(m_fix) == set(m_buck)
+    for name in m_buck:
+        for key, v in m_buck[name].items():
+            np.testing.assert_allclose(m_fix[name][key], v, rtol=1e-4,
+                                       err_msg=f'{name}/{key}')
