@@ -65,8 +65,11 @@ def run_lc(factors, epochs, out_dir, datasets=None, splitpath=None,
         })
         if splitpath:
             config['data_config']['splitpath'] = splitpath
-        # one dispatch per epoch — the tunneled chip is dispatch-bound
+        # one dispatch per epoch — the tunneled chip is dispatch-bound —
+        # and background-streamed checkpoints (sync saves at ~6 MB/s were
+        # ~90% of the epoch wall clock, PERF.md round-4c)
         config['trainer_config']['scan_epochs'] = True
+        config['trainer_config']['async_checkpoints'] = True
     config['trainer_config']['max_epochs'] = epochs
 
     results_path = Path(results_path or HERE / 'lc_results.json')

@@ -98,6 +98,13 @@ def run_production(config_dir, version: str, argv=None, v1_0: bool = False,
             name += '_pretrain'
 
     config['trainer_config']['name'] = name
+    # TPU execution mode (not part of the reference config surface):
+    # background-streamed checkpoints — checkpoint I/O at ~6 MB/s through
+    # the tunnel otherwise dominates the epoch wall clock (PERF.md
+    # round-4c). scan_epochs is NOT forced here: it stacks the whole
+    # epoch's batch cache in HBM, which the full production datasets may
+    # not fit; enable it per-run via trainer_config when the set fits.
+    config['trainer_config'].setdefault('async_checkpoints', True)
     if dry_run:
         return config
 

@@ -62,6 +62,7 @@ def main():
         'trainer_config': {'max_epochs': args.epochs,
                            'checkpoint_every': 200,
                            'scan_epochs': bool(args.scan_epochs),
+                           'async_checkpoints': True,
                            'name': 'tpu-convergence'},
         'test_model': True,
     }, config)
