@@ -203,21 +203,23 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
 
 # Two-tier gate (RESULTS.md), on the 10% held-out test split:
 #
-# * TARGET — aspirational: what an MM-representable oracle should
-#   ultimately be fit to (tighter than BASELINE.md's QM-target RMSEs).
-#   Reported as 'target_pass'; not test-enforced until first reached.
+# * TARGET — the aspirational 1.0/1.5 limits. REACHED by the 2400-epoch
+#   run (2026-08-20, all four datasets) and therefore now ENFORCED, per
+#   the promotion contract below: every ratchet ceiling is capped at the
+#   target, so a ratchet PASS implies a target PASS.
 # * RATCHET — the enforced regression gate: per-dataset ceilings
 #   calibrated to the best completed on-chip run with ~15% headroom, so
 #   any future accuracy regression fails the test suite. TIGHTEN these
 #   whenever a better run completes; never loosen.
 GATE_TARGET = {'rmse_energies': 1.0, 'crmse_gradients': 1.5}
-# calibrated 2026-08-19 from the 500-epoch on-chip run (table.md,
-# analysis.json: still descending at -0.064 decades/100ep), <=10% headroom
+# calibrated 2026-08-20 from the 2400-epoch on-chip run (table.md,
+# analysis.json: optimization plateau, LR decayed to 2.7e-7): <=10%
+# headroom on the record, capped at GATE_TARGET (the promotion)
 GATE_RATCHET = {
-    'proxy-spice-monomers': {'rmse_energies': 1.7, 'crmse_gradients': 3.5},
-    'proxy-spice-pubchem': {'rmse_energies': 2.5, 'crmse_gradients': 4.0},
-    'proxy-peptide':       {'rmse_energies': 2.4, 'crmse_gradients': 3.1},
-    'proxy-rna-like':      {'rmse_energies': 2.1, 'crmse_gradients': 3.3},
+    'proxy-spice-monomers': {'rmse_energies': 0.42, 'crmse_gradients': 0.86},
+    'proxy-spice-pubchem': {'rmse_energies': 0.90, 'crmse_gradients': 1.50},
+    'proxy-peptide':       {'rmse_energies': 0.62, 'crmse_gradients': 0.74},
+    'proxy-rna-like':      {'rmse_energies': 0.67, 'crmse_gradients': 1.00},
 }
 GATE = GATE_TARGET   # back-compat name: the aspirational limits
 

@@ -224,10 +224,10 @@ def test_espaloma_proxy_table_stage(tmp_path):
     from espaloma_proxy.run import GATE, table
     results = {'test': {
         'proxy-peptide': {'rmse_energies': 0.6, 'rmse_gradients': 1.9,
-                          'crmse_gradients': 1.1,
+                          'crmse_gradients': 0.7,
                           'rmse_energies_ci': [0.5, 0.7]},
         'proxy-rna-like': {'rmse_energies': 3.4, 'rmse_gradients': 2.1,
-                           'crmse_gradients': 1.2},
+                           'crmse_gradients': 0.9},
     }}
     (tmp_path / 'proxy_results.json').write_text(json.dumps(results))
     verdict = table(out_dir=tmp_path)
@@ -245,21 +245,26 @@ def test_espaloma_proxy_table_stage(tmp_path):
     assert r'\begin{table}' in tex and 'proxy-rna-like' in tex
     assert json.loads((tmp_path / 'gate.json').read_text())['limits'] == GATE
 
-    # results inside every ratchet ceiling pass the regression gate even
-    # above the aspirational target ... (derive the probe value from the
-    # live ceiling — the ratchet tightens whenever a better run completes)
-    from espaloma_proxy.run import GATE_TARGET, ratchet_limits
+    # PROMOTION (run.py GATE_RATCHET): since the 2400-epoch run reached the
+    # aspirational target, every ratchet ceiling is capped at the target —
+    # a ratchet PASS now implies a target PASS on the ratcheted datasets
+    from espaloma_proxy.run import GATE_RATCHET, GATE_TARGET, ratchet_limits
+    for ds, lims in GATE_RATCHET.items():
+        for key, lim in lims.items():
+            assert lim <= GATE_TARGET[key], (ds, key)
+    # results just inside every ratchet ceiling pass both tiers
     rna_ceiling = ratchet_limits('proxy-rna-like')['rmse_energies']
-    assert rna_ceiling > GATE_TARGET['rmse_energies']
     results['test']['proxy-rna-like']['rmse_energies'] = rna_ceiling - 0.01
     (tmp_path / 'proxy_results.json').write_text(json.dumps(results))
     v = table(out_dir=tmp_path)
-    assert v['pass'] and not v['target_pass']
-    # ... and fully-converged results pass both tiers
-    results['test']['proxy-rna-like']['rmse_energies'] = 0.8
+    assert v['pass'] and v['target_pass']
+    # ... and a result between the ratchet and the target fails enforcement
+    # (the ratchet never loosens back to the bare target)
+    results['test']['proxy-rna-like']['rmse_energies'] = (
+        rna_ceiling + GATE_TARGET['rmse_energies']) / 2
     (tmp_path / 'proxy_results.json').write_text(json.dumps(results))
     v = table(out_dir=tmp_path)
-    assert v['pass'] and v['target_pass']
+    assert not v['pass'] and v['target_pass']
 
 
 PROXY_RESULTS = (Path(__file__).parent.parent / 'experiments'
@@ -274,9 +279,10 @@ def test_espaloma_proxy_regression_gates():
     subdataset must stay inside its ratchet ceiling (calibrated to the best
     completed on-chip run + headroom, experiments/espaloma_proxy/run.py
     GATE_RATCHET) so accuracy regressions fail the suite in later rounds.
-    The aspirational 1.0/1.5 target is reported by the table stage
-    (gate.json 'target_pass'), not enforced here until first reached."""
-    from espaloma_proxy.run import ratchet_limits
+    The aspirational 1.0/1.5 target was REACHED by the 2400-epoch run
+    (2026-08-20) and is now enforced too — both explicitly here and
+    implicitly via the target-capped ratchet ceilings."""
+    from espaloma_proxy.run import GATE_TARGET, ratchet_limits
     results = json.loads(PROXY_RESULTS.read_text())
     test_metrics = results.get('test') or {}
     assert test_metrics, results
@@ -285,7 +291,8 @@ def test_espaloma_proxy_regression_gates():
             continue
         lims = ratchet_limits(ds)
         for key, lim in lims.items():
-            assert m[key] <= lim, (ds, key, m[key], lim)
+            assert m[key] <= min(lim, GATE_TARGET[key]), \
+                (ds, key, m[key], lim)
 
 
 def test_proxy_analyze_verdicts(tmp_path):
