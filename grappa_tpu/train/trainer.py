@@ -22,6 +22,7 @@ import json
 import os
 import threading
 import time
+import zlib
 from pathlib import Path
 from typing import Callable, Dict, Optional, Sequence
 
@@ -228,9 +229,14 @@ class Trainer:
         if scan_epochs and val_loader is not None and not val_loader.fixed_pad:
             # the scanned validation pass stacks the val cache into one
             # leading axis — sequential loaders default to per-batch bucket
-            # padding (non-uniform shapes), so flip this one to the fixed
-            # worst-case PadSpec (conf masks make padding metric-neutral;
-            # equivalence tested in test_scanned_validation_matches_loop)
+            # padding (non-uniform shapes), so use a trainer-local shallow
+            # copy flipped to the fixed worst-case PadSpec (conf masks make
+            # padding metric-neutral; equivalence tested in
+            # test_scanned_validation_matches_loop). The caller's loader is
+            # NOT mutated: a later evaluation pass over the same object
+            # keeps its bucketed shapes.
+            import copy as _copy
+            self.val_loader = val_loader = _copy.copy(val_loader)
             val_loader.fixed_pad = True
         self._scan_cache = None
         self._dp_scan_cache = None
@@ -260,6 +266,13 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.best_loss = float('inf')
+        # device-side copy of the best params (cheap HBM copy, no host
+        # transfer), refreshed at every improvement. Guarantees fit() can
+        # flush the true best to disk at exit even when the improvement's
+        # async best.ckpt save was skipped (writer busy / throttled) and no
+        # later improvement occurred — without it those params are lost
+        # (the training step donates the live buffers).
+        self._best_snapshot = None   # (device params, epoch)
         # plateau-decay baseline, separate from best_loss: best_loss stays a
         # monotone global best (it gates best.ckpt, like the reference's
         # Lightning checkpoint monitor, lightning_trainer.py:53-84), while
@@ -509,29 +522,28 @@ class Trainer:
     def validate(self) -> Dict[str, Dict[str, float]]:
         if self.val_loader is None:
             return {}
-        if self.cache_batches:
-            if getattr(self, '_val_cache', None) is None:
-                self._val_cache = [(jax.device_put(b), n)
-                                   for b, n in self.val_loader]
-            batches = self._val_cache
-        else:
-            batches = self.val_loader
-
         if self.scan_epochs and self.cache_batches:
             # one dispatch + one host fetch for the whole validation pass
             # (vs 2 round-trips per batch); requires uniform val shapes,
             # which fixed_pad gives — fall back to the loop otherwise
             if getattr(self, '_val_scan_cache', None) is None:
                 from grappa_tpu.data.graph_batch import stack_batches
+                staged = [(jax.device_put(b), n) for b, n in self.val_loader]
                 shapes = {tuple(x.shape for x in jax.tree.leaves(b))
-                          for b, _ in batches}
+                          for b, _ in staged}
                 if len(shapes) == 1:
                     self._val_scan_cache = (
-                        stack_batches([b for b, _ in batches]),
-                        [n for _, n in batches])
+                        stack_batches([b for b, _ in staged]),
+                        [n for _, n in staged])
                     self._val_scan_step = make_scan_eval_epoch(self.model)
+                    # only the stacked copy stays resident: keeping the
+                    # per-batch staging list too would double the HBM held
+                    # for the validation set (it is only needed by the
+                    # non-uniform-shape fallback loop below)
+                    self._val_cache = None
                 else:
                     self._val_scan_cache = False
+                    self._val_cache = staged
             if self._val_scan_cache is not False:
                 stacked, names = self._val_scan_cache
                 outs = jax.tree.map(np.asarray,
@@ -541,6 +553,14 @@ class Trainer:
                     self.evaluator.accumulate(e_se[bi], n_conf[bi],
                                               g_se[bi], n_vec[bi], ds_names)
                 return self.evaluator.pool()
+
+        if self.cache_batches:
+            if getattr(self, '_val_cache', None) is None:
+                self._val_cache = [(jax.device_put(b), n)
+                                   for b, n in self.val_loader]
+            batches = self._val_cache
+        else:
+            batches = self.val_loader
 
         for batch, ds_names in batches:
             energy, gradient = self.eval_step(self.params, batch)
@@ -570,6 +590,48 @@ class Trainer:
         # cumulative (reference: elapsed_time is "time from a previous run")
         self._fit_start = start_time
 
+        try:
+            self._fit_loop(max_epochs, finish_criterion, time_limit_h,
+                           session_limit_h, es_energy_w, ckpt_every,
+                           start_time)
+        except BaseException:
+            # join the in-flight async writer before unwinding: an orphaned
+            # daemon thread can finish its (now stale) last.ckpt write AFTER
+            # safe_trainrun's in-process retry resumed from that file,
+            # silently rolling the resume point back. The original exception
+            # is what matters — a writer error is swallowed here.
+            if self._ckpt_thread is not None:
+                try:
+                    self._join_ckpt_thread()
+                except Exception:
+                    pass
+            raise
+
+        if self.out_dir:
+            # if the latest improvement's best-save was skipped (async
+            # writer busy / throttle window), flush the device-held best
+            # snapshot now — otherwise the run's best params never reach
+            # disk (fit only guarantees last.ckpt below)
+            if (self._best_snapshot is not None
+                    and self._best_snapshot[1] > self._last_best_save):
+                best_params, best_epoch = self._best_snapshot
+                self._join_ckpt_thread()
+                _write_checkpoint(self.out_dir / 'best.ckpt', best_params,
+                                  None, self._ckpt_meta(epoch=best_epoch))
+                self._last_best_save = best_epoch
+            # the fit-exit resume point must be on disk before returning
+            self.save_checkpoint(self.out_dir / 'last.ckpt', blocking=True)
+        else:
+            self._join_ckpt_thread()
+        # fold this session's wall time into the stored total so a later
+        # fit() (or a save outside fit) doesn't double-count it
+        self.elapsed_time += time.time() - start_time
+        self._fit_start = None
+        return {'best_early_stopping_loss': self.best_loss,
+                'epochs': self.epoch, 'history': self.history}
+
+    def _fit_loop(self, max_epochs, finish_criterion, time_limit_h,
+                  session_limit_h, es_energy_w, ckpt_every, start_time):
         while self.epoch < max_epochs:
             t_ep = time.time()
             self.train_epoch()
@@ -589,6 +651,12 @@ class Trainer:
                 if es_loss < self.best_loss:
                     # monotone global best — gates best.ckpt only
                     self.best_loss = es_loss
+                    # keep the best params alive on device regardless of
+                    # whether the disk save below happens: the fit-exit
+                    # flush writes them if the last improvement's save was
+                    # skipped (test_best_ckpt_flushed_at_fit_exit)
+                    self._best_snapshot = (self._snapshot(self.params),
+                                           self.epoch)
                     # best checkpoints: params only (no optimizer state) and
                     # throttled — device->host transfer of the full Adam
                     # state is expensive on tunneled chips. An async save
@@ -628,18 +696,6 @@ class Trainer:
             if self.out_dir and self.epoch % ckpt_every == 0:
                 self.save_checkpoint(self.out_dir / 'last.ckpt')
 
-        if self.out_dir:
-            # the fit-exit resume point must be on disk before returning
-            self.save_checkpoint(self.out_dir / 'last.ckpt', blocking=True)
-        else:
-            self._join_ckpt_thread()
-        # fold this session's wall time into the stored total so a later
-        # fit() (or a save outside fit) doesn't double-count it
-        self.elapsed_time += time.time() - start_time
-        self._fit_start = None
-        return {'best_early_stopping_loss': self.best_loss,
-                'epochs': self.epoch, 'history': self.history}
-
     # ------------------------------------------------------------------
     # checkpointing: msgpack params + optimizer + json sidecar
     def _join_ckpt_thread(self):
@@ -651,6 +707,18 @@ class Trainer:
         if self._ckpt_error is not None:
             err, self._ckpt_error = self._ckpt_error, None
             raise RuntimeError('async checkpoint write failed') from err
+
+    def _ckpt_meta(self, epoch: Optional[int] = None) -> Dict:
+        elapsed = self.elapsed_time + (
+            time.time() - self._fit_start if self._fit_start else 0.0)
+        return {
+            'epoch': self.epoch if epoch is None else int(epoch),
+            'global_step': self.global_step,
+            'lr': self.lr, 'best_loss': self.best_loss,
+            'plateau_baseline': self.plateau_baseline,
+            'elapsed_time': elapsed,
+            'config': _jsonable(self.full_config),
+        }
 
     def save_checkpoint(self, path, include_opt_state: bool = True,
                         blocking: Optional[bool] = None) -> bool:
@@ -665,15 +733,7 @@ class Trainer:
         path = Path(path)
         if blocking is None:
             blocking = not self.async_checkpoints
-        elapsed = self.elapsed_time + (
-            time.time() - self._fit_start if self._fit_start else 0.0)
-        meta = {
-            'epoch': self.epoch, 'global_step': self.global_step,
-            'lr': self.lr, 'best_loss': self.best_loss,
-            'plateau_baseline': self.plateau_baseline,
-            'elapsed_time': elapsed,
-            'config': _jsonable(self.full_config),
-        }
+        meta = self._ckpt_meta()
         if blocking:
             # serialize with any in-flight async write to the same tree
             self._join_ckpt_thread()
@@ -702,6 +762,7 @@ class Trainer:
 
     def load_checkpoint(self, path):
         path = Path(path)
+        _verify_checkpoint(path)
         self.params = serialization.from_bytes(
             self.params, (path / 'params.msgpack').read_bytes())
         if (path / 'opt_state.msgpack').exists():
@@ -718,13 +779,18 @@ class Trainer:
 
 def _write_checkpoint(path: Path, params, opt_state, meta: Dict):
     """Serialize a checkpoint with per-file atomic replaces (tmp +
-    os.replace), params -> opt_state -> meta. A crash mid-write can never
-    truncate an existing checkpoint file (the old resume point survives);
-    the worst case is a params file up to one save newer than its meta."""
+    os.replace), params -> opt_state -> meta -> manifest. A crash mid-write
+    can never truncate an existing checkpoint file (the old resume point
+    survives). Per-file replaces alone could still leave a MIXED checkpoint
+    (params one save newer than the Adam state/meta), so a manifest with a
+    crc32 per payload is written LAST: `_verify_checkpoint` detects any
+    torn combination instead of silently resuming from mismatched state."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    crcs = {}
 
     def atomic_write(name: str, data: bytes):
+        crcs[name] = zlib.crc32(data)
         tmp = path / (name + '.tmp')
         tmp.write_bytes(data)
         os.replace(tmp, path / name)
@@ -732,7 +798,32 @@ def _write_checkpoint(path: Path, params, opt_state, meta: Dict):
     atomic_write('params.msgpack', serialization.to_bytes(params))
     if opt_state is not None:
         atomic_write('opt_state.msgpack', serialization.to_bytes(opt_state))
+    else:
+        # a params-only save (best.ckpt) must invalidate any stale opt
+        # state left from an older layout of the same directory
+        (path / 'opt_state.msgpack').unlink(missing_ok=True)
     atomic_write('meta.json', json.dumps(meta, indent=1).encode())
+    atomic_write('manifest.json', json.dumps(crcs).encode())
+
+
+def _verify_checkpoint(path: Path):
+    """Raise if the checkpoint directory is a torn mix of two saves (crash
+    between the per-file atomic replaces). Checkpoints from before the
+    manifest existed verify trivially."""
+    manifest = path / 'manifest.json'
+    if not manifest.exists():
+        return
+    crcs = json.loads(manifest.read_text())
+    for name, crc in crcs.items():
+        if name == 'manifest.json':
+            continue
+        f = path / name
+        if not f.exists() or zlib.crc32(f.read_bytes()) != crc:
+            raise RuntimeError(
+                f'checkpoint {path} is torn: {name} does not match its '
+                f'manifest (crash between per-file writes?). Resume from '
+                f'a different checkpoint (best.ckpt / an older copy) or '
+                f'delete the directory to restart.')
 
 
 def _jsonable(obj):
