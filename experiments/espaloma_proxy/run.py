@@ -127,8 +127,11 @@ def train(epochs: int = 150, out_dir: str = None, base_config: dict = None,
         'datasets': sorted(SPECS),
         'pure_train_datasets': [], 'pure_val_datasets': [],
         # mirror the published weighting pattern: upweight the scarce
-        # RNA-like set, downweight the big pubchem-like set
-        'weights': {'proxy-rna-like': 3.0, 'proxy-spice-pubchem': 0.8},
+        # RNA-like set, downweight the big pubchem-like set (keyed off the
+        # live SPECS so the XL variant's renamed datasets inherit it)
+        'weights': {**{n: 3.0 for n in SPECS if n.endswith('rna-like')},
+                    **{n: 0.8 for n in SPECS
+                       if n.endswith('spice-pubchem')}},
         'splitpath': str(SPLIT_JSON),
         'conf_strategy': 8, 'val_conf_strategy': 8,
     })

@@ -144,10 +144,16 @@ def run_sweep(base_config: Dict, spec: Dict[str, Tuple], n_trials: int,
               sweep_dir: str = 'sweeps/sweep', seed: int = 0,
               dataset_override=None,
               max_epochs: Optional[int] = None,
-              method: str = 'random', n_init: int = 5) -> Dict:
+              method: str = 'random', n_init: int = 5,
+              cache_batches: bool = False) -> Dict:
     """Sweep with `method` in {'random', 'bayes'}; returns the best trial
     summary. 'bayes' = GP-EI after `n_init` random warmup trials (reference
-    sweep_config.yaml method: bayes)."""
+    sweep_config.yaml method: bayes).
+
+    Resumable: completed trials recorded in <sweep_dir>/trials.jsonl are
+    skipped on re-invocation (their records seed the GP history), so an
+    interrupted sweep continues where it stopped instead of retraining
+    from trial 0 — required for unattended chip-supervisor runs."""
     from grappa_tpu.train.run import do_trainrun
 
     if method not in ('random', 'bayes'):
@@ -157,10 +163,26 @@ def run_sweep(base_config: Dict, spec: Dict[str, Tuple], n_trials: int,
     log_path = sweep_dir / 'trials.jsonl'
     rng = np.random.default_rng(seed)
 
+    done: Dict[int, Dict] = {}
+    if log_path.exists():
+        for line in log_path.read_text().splitlines():
+            rec = json.loads(line)
+            done[int(rec['trial'])] = rec
+
     history: List[Dict] = []
     best = {'trial': None, 'early_stopping_loss': float('inf')}
     with open(log_path, 'a') as log:
         for trial in range(n_trials):
+            if trial in done:
+                rec = done[trial]
+                if 'early_stopping_loss' in rec:
+                    history.append(rec)
+                    if rec['early_stopping_loss'] < \
+                            best['early_stopping_loss']:
+                        best = {'trial': trial, 'params': rec['params'],
+                                'early_stopping_loss':
+                                    rec['early_stopping_loss']}
+                continue
             config = copy.deepcopy(base_config)
             if method == 'bayes' and trial >= n_init:
                 sampled = suggest_bayes(spec, history, rng)
@@ -177,7 +199,8 @@ def run_sweep(base_config: Dict, spec: Dict[str, Tuple], n_trials: int,
             try:
                 out = do_trainrun(config, project_dir=str(sweep_dir),
                                   run_name=f'trial_{trial:03d}',
-                                  dataset_override=dataset_override)
+                                  dataset_override=dataset_override,
+                                  cache_batches=cache_batches)
                 loss = out['results'].get('best_early_stopping_loss',
                                           float('inf'))
                 record['early_stopping_loss'] = loss

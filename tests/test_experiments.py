@@ -216,6 +216,178 @@ def test_espaloma_proxy_flow_tiny(tmp_path, monkeypatch):
     assert summary4['epoch'] == summary3['epoch'] + 1
 
 
+def test_espaloma_proxy_xl_flow_tiny(tmp_path, monkeypatch):
+    """The XL driver rebinds the espaloma_proxy module to its own
+    specs/paths and runs the same production flow — executed end-to-end at
+    tiny scale on CPU (generate, split, train, table) before the real ~10k
+    molecule chip run. Also checks the published weighting pattern follows
+    the renamed XL datasets."""
+    from espaloma_proxy import run as eprun
+    from espaloma_proxy_xl import run_xl
+    from grappa_tpu.train.config import default_config, overwrite_config
+
+    # register the proxy module's original attrs for teardown restoration
+    for attr in ('HERE', 'CACHE', 'SPLIT_JSON', 'SPECS'):
+        monkeypatch.setattr(eprun, attr, getattr(eprun, attr))
+    monkeypatch.setattr(run_xl, 'HERE', tmp_path)
+    monkeypatch.setattr(run_xl, 'SPECS_XL', {
+        'proxy-xl-spice-monomers': (4, 2, 131, [1, 1, 6, 8], (6, 9),
+                                    'am1BCC'),
+        'proxy-xl-rna-like': (4, 2, 134, [1, 6, 7, 8, 15], (6, 9),
+                              'am1BCC'),
+    })
+    monkeypatch.delenv('GRAPPA_TPU_CACHE', raising=False)
+
+    proxy = run_xl.proxy_module()
+    assert proxy.CACHE == tmp_path / 'cache'
+    split = proxy.generate(workers=2)
+    assert (tmp_path / 'espaloma_split_xl.json').exists()
+    assert len(split['test']) == 1
+
+    config = default_config()
+    overwrite_config({
+        'model_config': get_small_model_config(),
+        'data_config': {'train_batch_size': 2, 'val_batch_size': 4,
+                        'test_batch_size': 4},
+        'lit_model_config': {'lr': 2e-4, 'start_qm_epochs': 0,
+                             'warmup_steps': 2},
+        'trainer_config': {'checkpoint_every': 1},
+        'test_model': False,
+    }, config)
+    summary = proxy.train(epochs=1, out_dir=str(tmp_path / 'runs'),
+                          base_config=config)
+    assert summary['test'] and all(
+        ds.startswith('proxy-xl-') for ds in summary['test'])
+    assert (tmp_path / 'proxy_results.json').exists()
+    assert (tmp_path / 'gate.json').exists()
+    # the weighting pattern followed the XL names
+    from grappa_tpu.train.config import read_yaml
+    stored = read_yaml(tmp_path / 'runs' / 'espaloma-proxy'
+                       / 'grappa_config.yaml')
+    assert stored['data_config']['weights'] == {'proxy-xl-rna-like': 3.0}
+
+
+def test_ablation_benchmark_flow_tiny(tmp_path, monkeypatch):
+    """Execute the on-chip ablation benchmark driver end-to-end at tiny
+    scale on CPU — arm config mutation, training through the production
+    path, per-arm result caching (idempotency), and the comparison table —
+    so the real chip run can't die on driver bugs (same discipline as
+    test_espaloma_proxy_flow_tiny)."""
+    from ablation import run_ablation as abl
+    from espaloma_proxy import run as proxy
+    from grappa_tpu.train.config import default_config, overwrite_config
+
+    monkeypatch.setattr(proxy, 'HERE', tmp_path)
+    monkeypatch.setattr(proxy, 'CACHE', tmp_path / 'cache')
+    monkeypatch.setattr(proxy, 'SPLIT_JSON', tmp_path / 'split.json')
+    monkeypatch.setattr(proxy, 'SPECS', {
+        'proxy-spice-monomers': (4, 2, 31, [1, 1, 6, 8], (6, 9), 'am1BCC'),
+        'proxy-peptide': (4, 2, 33, [1, 1, 6, 7, 8], (6, 9), 'amber99'),
+    })
+    monkeypatch.setenv('GRAPPA_TPU_CACHE', str(tmp_path / 'cache'))
+    monkeypatch.setattr(abl, 'PROXY', tmp_path)
+    proxy.generate(workers=2)
+
+    config = default_config()
+    overwrite_config({
+        'model_config': get_small_model_config(),
+        'data_config': {'train_batch_size': 2, 'val_batch_size': 4,
+                        'test_batch_size': 4},
+        'lit_model_config': {'lr': 2e-4, 'start_qm_epochs': 0,
+                             'warmup_steps': 2},
+        'trainer_config': {'checkpoint_every': 1},
+        'test_model': False,
+    }, config)
+
+    results = abl.run_ablation(
+        arms=['baseline', 'wrong_symmetry'], epochs=2,
+        out_dir=str(tmp_path / 'runs'),
+        results_path=str(tmp_path / 'ablation_results.json'),
+        base_config=config,
+        datasets=['proxy-spice-monomers', 'proxy-peptide'],
+        splitpath=str(tmp_path / 'split.json'))
+    assert set(results) == {'baseline', 'wrong_symmetry'}
+    for arm, r in results.items():
+        assert r['test'] and all(
+            'rmse_energies' in m for m in r['test'].values()), (arm, r)
+    # the wrong_symmetry arm actually flipped the model flag
+    import yaml
+    stored = yaml.safe_load(
+        (tmp_path / 'runs' / 'abl-wrong_symmetry'
+         / 'grappa_config.yaml').read_text())
+    assert stored['model_config']['wrong_symmetry'] is True
+    table_md = (tmp_path / 'ablation_table.md').read_text()
+    assert 'wrong_symmetry' in table_md and 'proxy-peptide' in table_md
+
+    # idempotency: a second invocation skips both cached arms (no training)
+    import grappa_tpu.train.run as run_mod
+    monkeypatch.setattr(run_mod, 'do_trainrun',
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError('must not retrain cached arm')))
+    again = abl.run_ablation(
+        arms=['baseline', 'wrong_symmetry'], epochs=2,
+        out_dir=str(tmp_path / 'runs'),
+        results_path=str(tmp_path / 'ablation_results.json'),
+        base_config=config,
+        datasets=['proxy-spice-monomers', 'proxy-peptide'],
+        splitpath=str(tmp_path / 'split.json'))
+    assert again == results
+
+
+def test_hpo_driver_flow_tiny(tmp_path, monkeypatch):
+    """The HPO sweep driver end-to-end at tiny scale on CPU: spec applies
+    to the real benchmark config, trials run through the production path,
+    and the report ranks them — so the chip sweep can't die on driver
+    bugs. The real SPEC's dotted paths must all resolve against the
+    benchmark yaml (set_dotted raises on unknown keys)."""
+    from espaloma_proxy import run as proxy
+    from hpo import run_hpo as hpo
+    from grappa_tpu.train.config import default_config, overwrite_config
+    from grappa_tpu.train.sweep import set_dotted
+
+    # every production spec path resolves against the real base config
+    cfg = hpo.build_base_config(epochs=150)
+    for path in hpo.SPEC:
+        set_dotted(cfg, path, {'lit_model_config.lr': 1e-5,
+                               'data_config.train_batch_size': 16,
+                               'lit_model_config.patience': 10,
+                               'lit_model_config.lr_decay': 0.7}[path])
+    assert cfg['lit_model_config']['finish_criterion']
+    assert cfg['test_model'] is False
+
+    monkeypatch.setattr(proxy, 'HERE', tmp_path)
+    monkeypatch.setattr(proxy, 'CACHE', tmp_path / 'cache')
+    monkeypatch.setattr(proxy, 'SPLIT_JSON', tmp_path / 'split.json')
+    monkeypatch.setattr(proxy, 'SPECS', {
+        'proxy-spice-monomers': (4, 2, 31, [1, 1, 6, 8], (6, 9), 'am1BCC'),
+    })
+    monkeypatch.setenv('GRAPPA_TPU_CACHE', str(tmp_path / 'cache'))
+    proxy.generate(workers=2)
+
+    config = default_config()
+    overwrite_config({
+        'model_config': get_small_model_config(),
+        'data_config': {'datasets': ['proxy-spice-monomers'],
+                        'splitpath': str(tmp_path / 'split.json'),
+                        'train_batch_size': 2, 'val_batch_size': 4,
+                        'test_batch_size': 4},
+        'lit_model_config': {'lr': 2e-4, 'start_qm_epochs': 0,
+                             'warmup_steps': 2},
+        'test_model': False,
+    }, config)
+    best = hpo.run_hpo(trials=2, epochs=1, out_dir=str(tmp_path / 'sweep'),
+                       base_config=config,
+                       spec={'lit_model_config.lr':
+                             ('log_uniform', 1e-4, 3e-4)},
+                       method='random')
+    assert best['trial'] is not None
+    scored = hpo.report(out_dir=str(tmp_path / 'sweep'),
+                        path=str(tmp_path / 'hpo_summary.md'))
+    assert len(scored) == 2
+    md = (tmp_path / 'hpo_summary.md').read_text()
+    assert 'es_loss' in md and '000' in md
+
+
 def test_espaloma_proxy_table_stage(tmp_path):
     """The table stage renders proxy_results.json into the espaloma-style
     markdown/LaTeX tables (reference experiments/evaluation/

@@ -225,6 +225,39 @@ def test_sweep_sampling():
         set_dotted(cfg, 'a.c', 1)
 
 
+def test_sweep_resume_skips_completed_trials(tmp_path, monkeypatch):
+    """Re-invoking run_sweep continues from trials.jsonl instead of
+    retraining completed trials — what lets the chip supervisor restart
+    an interrupted sweep idempotently."""
+    import grappa_tpu.train.run as run_mod
+    from grappa_tpu.train.sweep import run_sweep
+
+    calls = []
+
+    def fake_trainrun(config, project_dir, run_name, dataset_override=None,
+                      cache_batches=False):
+        calls.append(run_name)
+        loss = {'trial_000': 3.0, 'trial_001': 2.0, 'trial_002': 1.0}
+        return {'results': {'best_early_stopping_loss': loss[run_name],
+                            'epochs': 2},
+                'run_dir': str(tmp_path / run_name)}
+
+    monkeypatch.setattr(run_mod, 'do_trainrun', fake_trainrun)
+    spec = {'lit_model_config.lr': ('log_uniform', 1e-5, 1e-3)}
+    config = {'trainer_config': {}, 'lit_model_config': {'lr': 1e-4}}
+
+    run_sweep(config, spec, n_trials=2, sweep_dir=str(tmp_path / 'sw'))
+    assert calls == ['trial_000', 'trial_001']
+
+    best = run_sweep(config, spec, n_trials=3,
+                     sweep_dir=str(tmp_path / 'sw'))
+    # only the new trial trained; cached records seeded history + best
+    assert calls == ['trial_000', 'trial_001', 'trial_002']
+    assert best['trial'] == 2 and best['early_stopping_loss'] == 1.0
+    lines = (tmp_path / 'sw' / 'trials.jsonl').read_text().splitlines()
+    assert len(lines) == 3
+
+
 def test_resume_all_scan(tmp_path, capsys):
     """`resume-all --dry-run` classifies runs: unfinished ones are queued,
     finished/checkpoint-less/excluded ones are skipped (reference
