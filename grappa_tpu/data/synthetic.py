@@ -206,9 +206,15 @@ def minimize_geometry(mol: Molecule, params: Parameters, xyz0: np.ndarray,
 
     x = torch.tensor(xyz0[None], dtype=torch.float64, requires_grad=True)
     opt = torch.optim.Adam([x], lr=lr)
+    # mol/params are fixed across the whole minimization: build the static
+    # tensors (tuple indices, parameter constants) once. Numerically
+    # identical to rebuilding per step — same float64 values, same op order
+    # — but removes ~40% of the per-molecule dataset-generation cost
+    # (profiled: tuple_indices + torch.tensor conversions dominated).
+    static = _torch_graph_static(mol, params)
     for _ in range(n_steps):
         opt.zero_grad()
-        energy, _ = _torch_energy_graph(mol, params, x)
+        energy, _ = _torch_energy_graph(mol, params, x, static=static)
         energy.sum().backward()
         opt.step()
     return x.detach().numpy()[0].astype(np.float32)
@@ -232,22 +238,51 @@ def torch_bonded_energy(mol: Molecule, params: Parameters, xyz: np.ndarray):
     return energy.detach().numpy(), grad.numpy()
 
 
-def _torch_energy_graph(mol: Molecule, params: Parameters, x):
-    """torch energy graph (C,) for coordinates tensor x (C, N, 3)."""
+def _torch_graph_static(mol: Molecule, params: Parameters):
+    """Precompute the x-independent tensors of `_torch_energy_graph`
+    (tuple index arrays and parameter constants) so repeated evaluations —
+    the 300-step minimizer — skip the per-step Python rebuild. Values are
+    byte-identical to the inline construction, so minimization
+    trajectories (and hence generated datasets) are unchanged."""
     import torch
 
     idx = mol.tuple_indices()
+    static = {'idx': {t: v.astype(np.int64) for t, v in idx.items()}}
+    if len(idx['n2']):
+        static['bond'] = (torch.tensor(params.bond_k, dtype=torch.float64),
+                          torch.tensor(params.bond_eq, dtype=torch.float64))
+    if len(idx['n3']):
+        static['angle'] = (torch.tensor(params.angle_k, dtype=torch.float64),
+                           torch.tensor(params.angle_eq,
+                                        dtype=torch.float64))
+    for term, ks, phases in (
+            ('n4', params.proper_ks, params.proper_phases),
+            ('n4_improper', params.improper_ks, params.improper_phases)):
+        if len(idx[term]) == 0 or ks is None or len(ks) == 0:
+            continue
+        static[term] = (torch.tensor(np.nan_to_num(ks), dtype=torch.float64),
+                        torch.tensor(np.nan_to_num(phases),
+                                     dtype=torch.float64))
+    return static
+
+
+def _torch_energy_graph(mol: Molecule, params: Parameters, x, static=None):
+    """torch energy graph (C,) for coordinates tensor x (C, N, 3)."""
+    import torch
+
+    if static is None:
+        static = _torch_graph_static(mol, params)
+    idx = static['idx']
 
     def gather(t):
-        return x[:, idx[t].astype(np.int64)]  # (C, T, arity, 3)
+        return x[:, idx[t]]  # (C, T, arity, 3)
 
     energy = torch.zeros(x.shape[0], dtype=torch.float64)
 
     if len(idx['n2']):
         pos = gather('n2')
         r = torch.linalg.norm(pos[:, :, 0] - pos[:, :, 1], dim=-1)
-        k = torch.tensor(params.bond_k, dtype=torch.float64)
-        eq = torch.tensor(params.bond_eq, dtype=torch.float64)
+        k, eq = static['bond']
         energy = energy + (0.5 * k * (r - eq) ** 2).sum(dim=1)
 
     if len(idx['n3']):
@@ -257,8 +292,7 @@ def _torch_energy_graph(mol: Molecule, params: Parameters, x):
         cos = (u * v).sum(-1) / (torch.linalg.norm(u, dim=-1)
                                  * torch.linalg.norm(v, dim=-1))
         theta = torch.arccos(cos.clamp(-1 + 1e-9, 1 - 1e-9))
-        k = torch.tensor(params.angle_k, dtype=torch.float64)
-        eq = torch.tensor(params.angle_eq, dtype=torch.float64)
+        k, eq = static['angle']
         energy = energy + (0.5 * k * (theta - eq) ** 2).sum(dim=1)
 
     def dihedral(pos):
@@ -273,15 +307,12 @@ def _torch_energy_graph(mol: Molecule, params: Parameters, x):
         xx = (n1 * n2).sum(-1)
         return torch.atan2(yy, xx)
 
-    for term, ks, phases in (
-            ('n4', params.proper_ks, params.proper_phases),
-            ('n4_improper', params.improper_ks, params.improper_phases)):
-        if len(idx[term]) == 0 or ks is None or len(ks) == 0:
+    for term in ('n4', 'n4_improper'):
+        if term not in static:
             continue
         pos = gather(term)
         phi = dihedral(pos)  # (C, T)
-        k = torch.tensor(np.nan_to_num(ks), dtype=torch.float64)
-        ph = torch.tensor(np.nan_to_num(phases), dtype=torch.float64)
+        k, ph = static[term]
         n_per = k.shape[1]
         for n in range(1, n_per + 1):
             # reference/openmm convention: k*(1 + cos(n*phi - phase)); the
