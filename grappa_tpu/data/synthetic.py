@@ -198,10 +198,24 @@ def embed_conformers(mol: Molecule, n_confs: int, seed: int = 0,
 
 
 def minimize_geometry(mol: Molecule, params: Parameters, xyz0: np.ndarray,
-                      n_steps: int = 300, lr: float = 5e-3) -> np.ndarray:
+                      n_steps: int = 300, lr: float = 5e-3,
+                      method: Optional[str] = None) -> np.ndarray:
     """Relax one conformer (n_atoms, 3) to a local minimum of the given
-    parameters with torch Adam — synthetic conformers then sample around a
-    true FF minimum like MD/QM ensembles do."""
+    parameters with Adam — synthetic conformers then sample around a
+    true FF minimum like MD/QM ensembles do.
+
+    method: 'torch' (default — the historical path; regenerating the
+    committed proxy datasets byte-identically requires it) or 'jax'
+    (bucketed jitted fori_loop Adam, ~20-50x faster on one CPU core; same
+    physics and optimizer semantics, different float path, so it reaches an
+    equivalent — not bit-identical — minimum. Used for FRESH dataset
+    generation at scale, e.g. espaloma-proxy XL). Defaults to the
+    GRAPPA_TPU_MINIMIZER env var when unset."""
+    import os
+    method = method or os.environ.get('GRAPPA_TPU_MINIMIZER', 'torch')
+    if method == 'jax':
+        return _minimize_geometry_jax(mol, params, xyz0, n_steps=n_steps,
+                                      lr=lr)
     import torch
 
     x = torch.tensor(xyz0[None], dtype=torch.float64, requires_grad=True)
@@ -218,6 +232,158 @@ def minimize_geometry(mol: Molecule, params: Parameters, xyz0: np.ndarray,
         energy.sum().backward()
         opt.step()
     return x.detach().numpy()[0].astype(np.float32)
+
+
+def _round_up(x: int, mult: int, minimum: int) -> int:
+    return max(minimum, ((x + mult - 1) // mult) * mult)
+
+
+def _jax_minimizer_fn(n_pad: int, t_pads: tuple, n_pers: tuple,
+                      n_steps: int, lr: float):
+    """Compiled Adam minimizer for one padded shape signature. Shapes are
+    bucketed (atoms to mult of 8, tuples to mult of 32) so a whole dataset
+    generation reuses a handful of compilations."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, backend='cpu')
+    def run(x0, n2_idx, n2_k, n2_eq, n3_idx, n3_k, n3_eq,
+            n4_idx, n4_k, n4_ph, ni_idx, ni_k, ni_ph):
+        def energy(x):
+            e = jnp.zeros((), x.dtype)
+            p = x[n2_idx]                      # (B, 2, 3)
+            r = jnp.linalg.norm(p[:, 0] - p[:, 1], axis=-1)
+            e = e + (0.5 * n2_k * (r - n2_eq) ** 2).sum()
+            p = x[n3_idx]                      # (A, 3, 3)
+            u = p[:, 0] - p[:, 1]
+            v = p[:, 2] - p[:, 1]
+            cos = (u * v).sum(-1) / (jnp.linalg.norm(u, axis=-1)
+                                     * jnp.linalg.norm(v, axis=-1))
+            theta = jnp.arccos(jnp.clip(cos, -1 + 1e-9, 1 - 1e-9))
+            e = e + (0.5 * n3_k * (theta - n3_eq) ** 2).sum()
+
+            def torsion(idx, ks, phs):
+                pos = x[idx]                   # (T, 4, 3)
+                b1 = pos[:, 1] - pos[:, 0]
+                b2 = pos[:, 2] - pos[:, 1]
+                b3 = pos[:, 3] - pos[:, 2]
+                c1 = jnp.cross(b1, b2)
+                c2 = jnp.cross(b2, b3)
+                m1 = jnp.cross(
+                    c1, b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True))
+                phi = jnp.arctan2((m1 * c2).sum(-1), (c1 * c2).sum(-1))
+                out = jnp.zeros((), x.dtype)
+                for n in range(1, ks.shape[1] + 1):
+                    out = out + (ks[:, n - 1]
+                                 * jnp.cos(n * phi - phs[:, n - 1])).sum()
+                return out
+
+            if n4_idx.shape[0]:
+                e = e + torsion(n4_idx, n4_k, n4_ph)
+            if ni_idx.shape[0]:
+                e = e + torsion(ni_idx, ni_k, ni_ph)
+            return e
+
+        grad = jax.grad(energy)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+
+        def step(i, carry):
+            x, m, v = carry
+            g = grad(x)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            t = (i + 1).astype(x.dtype)
+            mhat = m / (1 - b1 ** t)
+            vhat = v / (1 - b2 ** t)
+            x = x - lr * mhat / (jnp.sqrt(vhat) + eps)
+            return x, m, v
+
+        x, _, _ = jax.lax.fori_loop(
+            0, n_steps, step,
+            (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)))
+        return x
+
+    return run
+
+
+def _minimize_geometry_jax(mol: Molecule, params: Parameters,
+                           xyz0: np.ndarray, n_steps: int = 300,
+                           lr: float = 5e-3) -> np.ndarray:
+    """Bucketed jitted equivalent of the torch minimizer (same energy form,
+    torch-Adam update semantics; one XLA dispatch for the whole loop).
+    Padding is inert: padded tuples index real, distinct atoms (so geometry
+    stays non-degenerate and differentiable) with k=0 parameters."""
+    import jax.numpy as jnp
+
+    idx = mol.tuple_indices()
+    n = xyz0.shape[0]
+    n_pad = _round_up(n, 8, 8)
+    dtype = np.float64 if jnp.zeros(()).dtype == jnp.float64 else np.float32
+
+    def pad_term(arr, count_pad, fill_row):
+        out = np.tile(np.asarray(fill_row, np.int32), (count_pad, 1))
+        if len(arr):
+            out[:len(arr)] = arr
+        return out
+
+    def pad_param(a, count_pad, n_per=None):
+        shape = (count_pad,) if n_per is None else (count_pad, n_per)
+        out = np.zeros(shape, dtype)
+        if a is not None and len(a):
+            out[:len(a)] = np.nan_to_num(np.asarray(a, dtype))
+        return out
+
+    b_pad = _round_up(len(idx['n2']), 32, 32)
+    a_pad = _round_up(len(idx['n3']), 32, 32)
+    p_cnt, i_cnt = len(idx['n4']), len(idx['n4_improper'])
+    p_pad = _round_up(p_cnt, 32, 32) if p_cnt else 0
+    i_pad = _round_up(i_cnt, 32, 32) if i_cnt else 0
+    n_per_p = (np.asarray(params.proper_ks).shape[1]
+               if p_cnt and params.proper_ks is not None
+               and len(params.proper_ks) else 0)
+    n_per_i = (np.asarray(params.improper_ks).shape[1]
+               if i_cnt and params.improper_ks is not None
+               and len(params.improper_ks) else 0)
+    if n_per_p == 0:
+        p_pad = 0
+    if n_per_i == 0:
+        i_pad = 0
+
+    fn = _jax_minimizer_cache(n_pad, (b_pad, a_pad, p_pad, i_pad),
+                              (n_per_p, n_per_i), n_steps, float(lr))
+
+    x0 = np.zeros((n_pad, 3), dtype)
+    x0[:n] = xyz0
+    args = (
+        x0,
+        pad_term(idx['n2'], b_pad, [0, 1]),
+        pad_param(params.bond_k, b_pad),
+        pad_param(params.bond_eq, b_pad),
+        pad_term(idx['n3'], a_pad, [0, 1, 2]),
+        pad_param(params.angle_k, a_pad),
+        pad_param(params.angle_eq, a_pad),
+        pad_term(idx['n4'], p_pad, [0, 1, 2, 3]),
+        pad_param(params.proper_ks, p_pad, max(n_per_p, 1)),
+        pad_param(params.proper_phases, p_pad, max(n_per_p, 1)),
+        pad_term(idx['n4_improper'], i_pad, [0, 1, 2, 3]),
+        pad_param(params.improper_ks, i_pad, max(n_per_i, 1)),
+        pad_param(params.improper_phases, i_pad, max(n_per_i, 1)),
+    )
+    x = np.asarray(fn(*args))
+    return x[:n].astype(np.float32)
+
+
+_JAX_MIN_CACHE: dict = {}
+
+
+def _jax_minimizer_cache(n_pad, t_pads, n_pers, n_steps, lr):
+    key = (n_pad, t_pads, n_pers, n_steps, lr)
+    if key not in _JAX_MIN_CACHE:
+        _JAX_MIN_CACHE[key] = _jax_minimizer_fn(n_pad, t_pads, n_pers,
+                                                n_steps, lr)
+    return _JAX_MIN_CACHE[key]
 
 
 # ----------------------------------------------------------------------

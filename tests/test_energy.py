@@ -133,3 +133,39 @@ def test_centered():
     mask = jnp.array([[True, True, True, False]])
     c = mm_energy.centered(e, mask)
     np.testing.assert_allclose(np.asarray(c), [[-1.0, 0.0, 1.0, 0.0]])
+
+
+def test_jax_minimizer_matches_torch():
+    """The bucketed jitted minimizer (dataset generation at scale, e.g.
+    espaloma-proxy XL) must reach the same minimum as the historical torch
+    path: identical energy form + Adam update semantics, so in f64 the
+    trajectories agree to float tolerance."""
+    from grappa_tpu.data import synthetic as S
+    if not jax.config.read('jax_enable_x64'):
+        pytest.skip('requires x64 for trajectory-level agreement')
+    mol = S.random_molecule(977, elements=[1, 1, 6, 6, 7, 8],
+                            atom_range=(12, 20))
+    params = S.environment_parameters(mol)
+    xyz = S.embed_conformers(mol, 1, 977, noise=0.08, params=params)
+    xt = S.minimize_geometry(mol, params, xyz[0], method='torch')
+    xj = S.minimize_geometry(mol, params, xyz[0], method='jax')
+    np.testing.assert_allclose(xj, xt, rtol=0, atol=5e-4)
+    et, _ = S.torch_bonded_energy(mol, params, xt[None])
+    ej, _ = S.torch_bonded_energy(mol, params, xj[None])
+    np.testing.assert_allclose(ej, et, rtol=1e-6)
+
+
+def test_jax_minimizer_f32_quality():
+    """Without x64 the jitted minimizer still has to land at an equivalent
+    minimum (energy within a small absolute margin of the torch one)."""
+    from grappa_tpu.data import synthetic as S
+    mol = S.random_molecule(978, elements=[1, 1, 6, 6, 7, 8],
+                            atom_range=(12, 20))
+    params = S.environment_parameters(mol)
+    xyz = S.embed_conformers(mol, 1, 978, noise=0.08, params=params)
+    xt = S.minimize_geometry(mol, params, xyz[0], method='torch')
+    xj = S.minimize_geometry(mol, params, xyz[0], method='jax')
+    et, _ = S.torch_bonded_energy(mol, params, xt[None])
+    ej, _ = S.torch_bonded_energy(mol, params, xj[None])
+    assert abs(float(ej[0]) - float(et[0])) < max(0.02 * abs(float(et[0])),
+                                                  0.5)
