@@ -45,7 +45,7 @@ def run_lc(factors, epochs, out_dir, datasets=None, splitpath=None,
            results_path=None, config=None):
     from grappa_tpu.train.config import read_yaml
     from grappa_tpu.train.export import load_model_dict
-    from grappa_tpu.train.run import do_trainrun
+    from grappa_tpu.train.run import do_trainrun, resume_trainrun
     from grappa_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
@@ -85,8 +85,15 @@ def run_lc(factors, epochs, out_dir, datasets=None, splitpath=None,
         if factor < 1.0:
             cfg['data_config']['tr_subsampling_factor'] = factor
         cfg['trainer_config']['name'] = key
-        out = do_trainrun(cfg, project_dir=out_dir, run_name=key,
-                          cache_batches=True)
+        run_dir = Path(out_dir) / key
+        if (run_dir / 'last.ckpt').exists():
+            # a supervisor-killed / tunnel-dropped factor picks up where it
+            # stopped instead of rerunning up to 500 epochs from scratch
+            print(f'{key}: resuming interrupted run from {run_dir}')
+            out = resume_trainrun(str(run_dir), cache_batches=True)
+        else:
+            out = do_trainrun(cfg, project_dir=out_dir, run_name=key,
+                              cache_batches=True)
         md = load_model_dict(out['model_dict_path'])
         # exact number of molecules actually trained on (after subsampling)
         n_train = len(out['trainer'].train_loader.dataset)
