@@ -152,6 +152,15 @@ def get_dataloaders(data_config: Dict, run_dir: Optional[Path] = None
     return train_loader, val_loader, test_loader, split
 
 
+def _phase(msg: str) -> None:
+    """Timestamped startup-phase print: on tunneled chips the silent parts
+    of a run's startup (remote compiles, batch staging) can take tens of
+    minutes — these prints make hangs diagnosable and keep supervisor
+    staleness watchdogs fed."""
+    import datetime
+    print(f"[{datetime.datetime.utcnow():%H:%M:%S}] {msg}", flush=True)
+
+
 def do_trainrun(config: Dict, project_dir: str = 'runs',
                 run_name: Optional[str] = None,
                 dataset_override: Optional[Dataset] = None,
@@ -192,10 +201,12 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
                                  shuffle=False) if len(vl) else None
         test_loader = None
     else:
+        _phase(f"{run_name}: loading datasets")
         train_loader, val_loader, test_loader, split = get_dataloaders(
             config['data_config'], run_dir)
 
     # scaler statistics from the train set (full pass, like the reference)
+    _phase(f"{run_name}: computing parameter statistics")
     stats = param_statistics_from_graphs(train_loader.dataset.graphs())
     (run_dir / 'param_statistics.json').write_text(json.dumps(
         {m: {k: np.asarray(v).tolist() for k, v in stats[m].items()}
@@ -203,8 +214,15 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
     model = make_model(config['model_config'], stats)
 
     batch, ds_names = next(iter(train_loader))
-    params = jax.jit(model.init)(jax.random.key(
-        config['data_config'].get('seed', 0)), batch)
+    _phase(f"{run_name}: initializing model (local CPU)")
+    # init is PRNG draws + shape plumbing — backend-invariant (jax PRNG is
+    # deterministic across platforms). Compiling it on the LOCAL cpu
+    # backend skips a multi-minute remote compile on tunneled chips; the
+    # first train step transfers the params to the accelerator.
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        params = jax.jit(model.init)(jax.random.key(
+            config['data_config'].get('seed', 0)), batch)
+    _phase(f"{run_name}: model initialized")
 
     if pretrain_path is not None:
         from grappa_tpu.train.export import load_model_dict
@@ -227,8 +245,11 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
 
     if config.get('test_model'):
         from grappa_tpu.models import mm_energy
-        pred = model.apply(params, batch)
-        energy, gradient = mm_energy.energy_and_gradient(batch, pred)
+        # numerical smoke test — runs on the local cpu backend (no remote
+        # compile; the finiteness check is platform-independent)
+        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+            pred = model.apply(params, batch)
+            energy, gradient = mm_energy.energy_and_gradient(batch, pred)
         assert np.isfinite(np.asarray(energy)).all(), \
             "model smoke test: non-finite energies"
         assert np.isfinite(np.asarray(gradient)).all(), \
@@ -244,6 +265,7 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
                       prng_impl=config['trainer_config'].get(
                           'prng_impl', 'rbg'))
     try:
+        _phase(f"{run_name}: entering fit (first step compiles)")
         results = trainer.fit()
     finally:
         logger.finish()
@@ -260,12 +282,14 @@ def _finalize_run(trainer, model, config, split, test_loader, run_dir,
                      if results.get('history') else {})
     if test_loader is not None:
         from grappa_tpu.train.eval_model import BootstrapEvaluator
+        _phase(f"{run_dir.name}: bootstrap test evaluation")
         evaluator = BootstrapEvaluator()
         for batch, names in test_loader:
             energy, gradient = trainer.eval_step(trainer.params, batch)
             evaluator.step(batch, energy, gradient, names)
         final_metrics = {'val': final_metrics,
                          'test': evaluator.pool(n_bootstrap=200)}
+        _phase(f"{run_dir.name}: test evaluation done")
 
     model_dict = build_model_dict(
         trainer.params, config,
@@ -303,12 +327,17 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None,
     # stored split (newly added data) still get extended deterministically.
     if (run_dir / 'split.json').exists():
         config['data_config']['splitpath'] = str(run_dir / 'split.json')
+    _phase(f"resume {run_dir.name}: loading datasets")
     train_loader, val_loader, test_loader, split = get_dataloaders(
         config['data_config'], run_dir)
     stats = param_statistics_from_graphs(train_loader.dataset.graphs())
     model = make_model(config['model_config'], stats)
     batch, _ = next(iter(train_loader))
-    params = jax.jit(model.init)(jax.random.key(0), batch)
+    _phase(f"resume {run_dir.name}: initializing model (local CPU — the "
+           f"values are overwritten by the checkpoint)")
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        params = jax.jit(model.init)(jax.random.key(0), batch)
+    _phase(f"resume {run_dir.name}: model initialized")
 
     logger = MetricLogger(run_dir)
     trainer = Trainer(model, params, train_loader, val_loader,
@@ -322,6 +351,8 @@ def resume_trainrun(run_dir: str, extra_epochs: Optional[int] = None,
     max_epochs = (trainer.epoch + extra_epochs if extra_epochs is not None
                   else config['trainer_config'].get('max_epochs'))
     try:
+        _phase(f"resume {run_dir.name}: entering fit at epoch "
+               f"{trainer.epoch}")
         results = trainer.fit(max_epochs=max_epochs)
     finally:
         logger.finish()
