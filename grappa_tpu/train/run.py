@@ -245,11 +245,21 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
 
     if config.get('test_model'):
         from grappa_tpu.models import mm_energy
-        # numerical smoke test — runs on the local cpu backend (no remote
-        # compile; the finiteness check is platform-independent)
-        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+
+        def _smoke():
             pred = model.apply(params, batch)
-            energy, gradient = mm_energy.energy_and_gradient(batch, pred)
+            return mm_energy.energy_and_gradient(batch, pred)
+
+        # numerical smoke test — prefer the local cpu backend (no remote
+        # compile; the finiteness check is platform-independent), but
+        # fused-pallas configs can only run on the accelerator
+        try:
+            with jax.default_device(jax.local_devices(backend='cpu')[0]):
+                energy, gradient = _smoke()
+        except ValueError as e:
+            if 'interpret mode' not in str(e):
+                raise
+            energy, gradient = _smoke()
         assert np.isfinite(np.asarray(energy)).all(), \
             "model smoke test: non-finite energies"
         assert np.isfinite(np.asarray(gradient)).all(), \
