@@ -208,6 +208,7 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
     # scaler statistics from the train set (full pass, like the reference)
     _phase(f"{run_name}: computing parameter statistics")
     stats = param_statistics_from_graphs(train_loader.dataset.graphs())
+    stats_eps_applied = False
     (run_dir / 'param_statistics.json').write_text(json.dumps(
         {m: {k: np.asarray(v).tolist() for k, v in stats[m].items()}
          for m in ('mean', 'std')}))
@@ -236,6 +237,7 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
             # torch load_state_dict overwriting registered buffers
             model = make_model(config['model_config'], ckpt_stats,
                                eps_applied=True)
+            stats, stats_eps_applied = ckpt_stats, True
         jax.tree.map(lambda a, b: None if a.shape == b.shape else
                      (_ for _ in ()).throw(ValueError(
                          f"pretrain shape mismatch {a.shape} vs {b.shape}")),
@@ -245,21 +247,18 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
 
     if config.get('test_model'):
         from grappa_tpu.models import mm_energy
-
-        def _smoke():
-            pred = model.apply(params, batch)
-            return mm_energy.energy_and_gradient(batch, pred)
-
-        # numerical smoke test — prefer the local cpu backend (no remote
-        # compile; the finiteness check is platform-independent), but
-        # fused-pallas configs can only run on the accelerator
-        try:
-            with jax.default_device(jax.local_devices(backend='cpu')[0]):
-                energy, gradient = _smoke()
-        except ValueError as e:
-            if 'interpret mode' not in str(e):
-                raise
-            energy, gradient = _smoke()
+        # numerical smoke test on the local cpu backend — zero remote
+        # compiles on tunneled chips (an eager fused-path apply there costs
+        # ~10 min of per-op compiles). The fused Pallas kernels cannot run
+        # on CPU, so the smoke uses a de-fused sibling model: identical
+        # checkpoint tree and (parity-tested) identical math.
+        smoke_model = make_model(
+            {**config['model_config'],
+             'fused_heads': False, 'fused_gnn': False}, stats,
+            eps_applied=stats_eps_applied)
+        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+            pred = smoke_model.apply(params, batch)
+            energy, gradient = mm_energy.energy_and_gradient(batch, pred)
         assert np.isfinite(np.asarray(energy)).all(), \
             "model smoke test: non-finite energies"
         assert np.isfinite(np.asarray(gradient)).all(), \
