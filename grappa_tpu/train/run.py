@@ -286,7 +286,23 @@ def do_trainrun(config: Dict, project_dir: str = 'runs',
 def _finalize_run(trainer, model, config, split, test_loader, run_dir,
                   results) -> Dict:
     """Post-fit tail shared by do_trainrun and resume_trainrun: bootstrap
-    test evaluation (if a test loader exists) + model_dict export."""
+    test evaluation (if a test loader exists) + model_dict export.
+
+    Evaluates/exports the BEST checkpoint (lowest early-stopping loss),
+    like the reference, which exports files/checkpoints/best-model.ckpt
+    (reference export_model.py:30) — the last weights of a bounded or
+    oscillating run can be far off the monotone best."""
+    eval_params = trainer.params
+    best = Path(run_dir) / 'best.ckpt'
+    if best.exists():
+        try:
+            from flax import serialization
+            eval_params = serialization.from_bytes(
+                trainer.params, (best / 'params.msgpack').read_bytes())
+            _phase(f"{run_dir.name}: evaluating best.ckpt params")
+        except Exception as exc:   # torn/obsolete best -> fall back to last
+            print(f"best.ckpt unusable ({exc}); evaluating last params")
+            eval_params = trainer.params
     final_metrics = (results.get('history', [])[-1]['metrics']
                      if results.get('history') else {})
     if test_loader is not None:
@@ -294,14 +310,14 @@ def _finalize_run(trainer, model, config, split, test_loader, run_dir,
         _phase(f"{run_dir.name}: bootstrap test evaluation")
         evaluator = BootstrapEvaluator()
         for batch, names in test_loader:
-            energy, gradient = trainer.eval_step(trainer.params, batch)
+            energy, gradient = trainer.eval_step(eval_params, batch)
             evaluator.step(batch, energy, gradient, names)
         final_metrics = {'val': final_metrics,
                          'test': evaluator.pool(n_bootstrap=200)}
         _phase(f"{run_dir.name}: test evaluation done")
 
     model_dict = build_model_dict(
-        trainer.params, config,
+        eval_params, config,
         split_names=split,
         results=final_metrics,
         model=model)

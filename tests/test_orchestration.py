@@ -548,3 +548,42 @@ def test_do_trainrun_scan_epochs_config(tmp_path):
                            cache_batches=True)
     assert out2['trainer'].epoch == 3
     assert out2['trainer'].scan_epochs is True
+
+
+@pytest.mark.slow
+def test_finalize_exports_best_checkpoint(tmp_path):
+    """_finalize_run must evaluate/export the BEST checkpoint, like the
+    reference exports files/checkpoints/best-model.ckpt (reference
+    export_model.py:30) — not the last weights of the session."""
+    import jax
+    from flax import serialization
+    from grappa_tpu.train.export import load_model_dict
+    from grappa_tpu.train.run import do_trainrun, resume_trainrun
+
+    ds_dir = tmp_path / 'ds'
+    Dataset.from_moldata(make_dataset(n_mols=10, n_confs=4, seed=0),
+                         'syn').save(ds_dir)
+    config = _small_config(ds_dir)
+    config['data_config']['partition'] = [0.6, 0.2, 0.2]
+    out = do_trainrun(config, project_dir=str(tmp_path / 'runs'),
+                      run_name='best')
+    run_dir = Path(out['run_dir'])
+    best = run_dir / 'best.ckpt'
+    assert (best / 'params.msgpack').exists()
+
+    # sentinel: zero every best-checkpoint param, then re-finalize via a
+    # no-op resume (max_epochs already reached). The export must carry the
+    # zeroed best params, not the trainer's (nonzero) last params.
+    tree = serialization.msgpack_restore(
+        (best / 'params.msgpack').read_bytes())
+    zeroed = jax.tree.map(lambda a: np.zeros_like(a), tree)
+    (best / 'params.msgpack').write_bytes(
+        serialization.msgpack_serialize(zeroed))
+
+    out2 = resume_trainrun(str(run_dir))
+    sd = load_model_dict(out2['model_dict_path'])['state_dict']
+    # every exported WEIGHT must be the zero sentinel (scaler-statistic
+    # buffers come from the model, not the checkpoint, and stay nonzero)
+    weight = [k for k in sd if k.startswith('gnn.') and k.endswith('.weight')]
+    assert weight
+    assert all(np.all(np.asarray(sd[k]) == 0) for k in weight)
