@@ -511,3 +511,25 @@ def test_proxy_analyze_verdicts(tmp_path):
     assert 'optimization plateau' in plateau['verdict']
     assert plateau['lr_decay_events'] == [
         {'epoch': 50, 'from': 1e-4, 'to': 5e-5}]
+
+
+def test_espaloma_proxy_xl_regression_gates():
+    """Enforced gate for the XL (10k-molecule) benchmark: the committed
+    353-epoch record reached the aspirational 1.0/1.5 target on all four
+    chemistries (2026-08-21); every subdataset must stay inside its
+    ratchet ceiling (run_xl.GATE_RATCHET_XL, <=10% headroom capped at the
+    target) so accuracy regressions fail the suite."""
+    from espaloma_proxy.run import GATE_TARGET
+    from espaloma_proxy_xl.run_xl import GATE_RATCHET_XL
+    results_path = (Path(__file__).parent.parent / 'experiments'
+                    / 'espaloma_proxy_xl' / 'proxy_results.json')
+    results = json.loads(results_path.read_text())
+    test_metrics = results.get('test') or {}
+    assert set(GATE_RATCHET_XL) <= set(test_metrics), test_metrics.keys()
+    for ds, lims in GATE_RATCHET_XL.items():
+        m = test_metrics[ds]
+        for key, lim in lims.items():
+            assert m[key] <= min(lim, GATE_TARGET[key]), \
+                (ds, key, m[key], lim)
+    gate = json.loads((results_path.parent / 'gate.json').read_text())
+    assert gate['pass'] and gate['target_pass'], gate
